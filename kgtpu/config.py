@@ -1,0 +1,260 @@
+"""Configuration for the kgtpu framework.  [SURVEY.md C1]
+
+A single frozen dataclass tree replaces the reference's per-script argparse
+(SURVEY.md §5 "Config / flag system").  An argparse shim exposes
+reference-style flag names (``--data_dir``, ``--batch_size``, ``--resume``,
+``--test_scales`` …) so users of the reference find the same surface.
+
+Every semantic choice left OPEN by SURVEY.md §8 is a field here, with the
+designated default, so a later parity pass is a config change, not a rewrite:
+
+  OPEN-1  keypoint classes .... 5 = four box corners (TL,TR,BL,BR) + center
+  OPEN-2  wh/size head ........ off by default (offsets only), `use_wh_head`
+  OPEN-3  mask-head input ..... backbone features (ROI-cropped), joint training
+  OPEN-5  AP protocol ......... DSB2018 mean-AP over IoU .5:.05:.95 (+COCO opt)
+  OPEN-7  output stride ....... 4
+  OPEN-9  grouping thresholds . all fields of `GroupConfig`
+  OPEN-10 resize convention ... half-pixel centers (cv2 / TF crop_and_resize)
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+from typing import Sequence
+
+# Keypoint class indices (OPEN-1 resolution; fixed across the whole framework).
+KP_TL, KP_TR, KP_BL, KP_BR, KP_CENTER = 0, 1, 2, 3, 4
+NUM_KP_CLASSES = 5
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    """Backbone + heads.  [SURVEY.md C5-C7]"""
+
+    backbone: str = "hourglass"        # "hourglass" | "hourglass_lite" | "resnet_fpn"
+    num_stacks: int = 2                # stacked-hourglass depth (1 for lite)
+    base_channels: int = 128           # stem width (hourglass: feature width)
+    hg_depth: int = 4                  # downsampling levels inside one hourglass
+    head_channels: int = 128           # hidden width of the prediction heads
+    num_kp_classes: int = NUM_KP_CLASSES
+    use_wh_head: bool = False          # OPEN-2: regress box w/h in addition to offsets
+    norm: str = "group"                # "group" | "batch"; group avoids sync-BN in DP
+    # Mask head (stage 2).  OPEN-3: consumes ROI-cropped backbone features.
+    roi_size: int = 32                 # crop size on the stride-4 feature map
+    mask_size: int = 64                # mask-logit resolution (roi_size * 2 upsample)
+    mask_channels: int = 64            # mask-head conv width
+    # Numerics
+    compute_dtype: str = "bfloat16"    # MXU-friendly; params stay float32
+    param_dtype: str = "float32"
+
+
+@dataclasses.dataclass(frozen=True)
+class DataConfig:
+    """Datasets, augmentation, fixed-shape batching.  [SURVEY.md C2-C3]"""
+
+    dataset: str = "synthetic"         # "synthetic" | "dsb2018" | "neural_cells"
+    data_dir: str = ""
+    input_size: int = 512              # square training crop (H = W)
+    stride: int = 4                    # OPEN-7: output stride of the backbone
+    max_instances: int = 128           # pad/truncate GT instances per image
+    # Augmentation (host side, cv2/NumPy; affine-consistent across img/masks/kpts)
+    flip_prob: float = 0.5
+    scale_range: tuple[float, float] = (0.8, 1.2)
+    rotate_deg: float = 0.0
+    color_jitter: float = 0.2
+    # Normalization (ImageNet-style means, as in CenterNet-family references)
+    mean: tuple[float, float, float] = (0.485, 0.456, 0.406)
+    std: tuple[float, float, float] = (0.229, 0.224, 0.225)
+
+
+@dataclasses.dataclass(frozen=True)
+class GroupConfig:
+    """Keypoint-graph grouping + NMS knobs.  [SURVEY.md C10-C11; OPEN-9]
+
+    The grouper forms candidate boxes from all (TL, BR) peak pairs, then
+    scores each candidate by geometric consistency with the center / TR / BL
+    keypoint graphs.  All thresholds live here so parity tuning is config-only.
+    """
+
+    max_peaks_per_class: int = 128     # K: per-class top-k kept by the decoder
+    max_detections: int = 128          # D: boxes kept after grouping + NMS
+    kp_score_thresh: float = 0.1       # min peak score to participate in a pair
+    center_thresh: float = 0.1         # min center-peak score to support a box
+    center_tol: float = 0.35           # center must lie within tol * box diagonal
+    edge_tol: float = 0.35             # TR/BL support tolerance, * box diagonal
+    min_box_size: float = 2.0          # min width/height in stride-4 pixels
+    require_center: bool = True        # a box with no center support is dropped
+    w_corner: float = 1.0              # score weights: corner pair mean,
+    w_center: float = 1.0              #   center support score,
+    w_edge: float = 0.5                #   TR/BL support score mean
+    score_thresh: float = 0.15         # final min box score
+    nms_iou: float = 0.5               # box-NMS IoU threshold
+    mask_thresh: float = 0.5           # mask binarization threshold (C13)
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """Optimization + checkpointing.  [SURVEY.md C14, C18]"""
+
+    batch_size: int = 8
+    lr: float = 2.5e-4
+    lr_warmup_steps: int = 500
+    num_epochs: int = 100
+    steps_per_epoch: int = 0           # 0 = derive from dataset length
+    weight_decay: float = 0.0
+    grad_clip_norm: float = 5.0
+    ema_decay: float = 0.0             # 0 disables EMA params
+    seed: int = 0
+    # loss weights (C8): focal on heatmaps, L1 on offsets, BCE+dice on masks
+    w_heatmap: float = 1.0
+    w_offset: float = 1.0
+    w_wh: float = 0.1
+    w_mask: float = 1.0
+    focal_alpha: float = 2.0           # CornerNet penalty-reduced focal exponents
+    focal_beta: float = 4.0
+    # checkpoint semantics mirror the reference: epoch-numbered files + --resume
+    save_dir: str = "weights"
+    save_every_epochs: int = 1
+    resume: str = ""                   # path or "" (fresh start)
+    # data-parallel mesh (SURVEY §2.10): number of chips on the "data" axis;
+    # 0 = use all visible devices
+    num_devices: int = 0
+
+
+@dataclasses.dataclass(frozen=True)
+class InferConfig:
+    """Inference / TTA / tiling.  [SURVEY.md C15-C16, config 5]"""
+
+    weights: str = ""                  # checkpoint to load
+    test_scales: tuple[float, ...] = (1.0,)   # multi-scale TTA scales
+    input_size: int = 512              # inference canvas (pad/resize to square)
+    batch_size: int = 1
+    # whole-slide sliding-window tiling (BASELINE config 5)
+    tile_size: int = 512
+    tile_overlap: int = 64
+    save_dir: str = "results"
+
+
+@dataclasses.dataclass(frozen=True)
+class Config:
+    model: ModelConfig = dataclasses.field(default_factory=ModelConfig)
+    data: DataConfig = dataclasses.field(default_factory=DataConfig)
+    group: GroupConfig = dataclasses.field(default_factory=GroupConfig)
+    train: TrainConfig = dataclasses.field(default_factory=TrainConfig)
+    infer: InferConfig = dataclasses.field(default_factory=InferConfig)
+
+    def replace(self, **sections) -> "Config":
+        return dataclasses.replace(self, **sections)
+
+
+def tiny_test_config() -> Config:
+    """Small config used across unit tests: fast to compile on CPU."""
+    return Config(
+        model=ModelConfig(
+            backbone="hourglass_lite", num_stacks=1, base_channels=32,
+            hg_depth=2, head_channels=32, roi_size=8, mask_size=16,
+            mask_channels=16, compute_dtype="float32",
+        ),
+        data=DataConfig(input_size=128, max_instances=16),
+        group=GroupConfig(max_peaks_per_class=32, max_detections=32),
+        train=TrainConfig(batch_size=2, num_epochs=1, steps_per_epoch=2),
+        infer=InferConfig(input_size=128),
+    )
+
+
+# ---------------------------------------------------------------------------
+# argparse shim — reference-style flags (SURVEY.md C1, OPEN-8 defaults)
+# ---------------------------------------------------------------------------
+
+def _add_common(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--dataset", default="dsb2018",
+                   choices=["synthetic", "dsb2018", "neural_cells"])
+    p.add_argument("--data_dir", default="")
+    p.add_argument("--input_size", type=int, default=512)
+    p.add_argument("--backbone", default="hourglass",
+                   choices=["hourglass", "hourglass_lite", "resnet_fpn"])
+    p.add_argument("--num_stacks", type=int, default=2)
+    p.add_argument("--K", dest="max_peaks", type=int, default=128,
+                   help="per-class top-k peaks kept by the decoder")
+    p.add_argument("--max_detections", type=int, default=128)
+    p.add_argument("--conf_thresh", type=float, default=0.15)
+    p.add_argument("--nms_iou", type=float, default=0.5)
+    p.add_argument("--seed", type=int, default=0)
+
+
+def build_train_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser("train.py", description="Train the KG model (TPU)")
+    _add_common(p)
+    p.add_argument("--batch_size", type=int, default=8)
+    p.add_argument("--lr", type=float, default=2.5e-4)
+    p.add_argument("--num_epochs", type=int, default=100)
+    p.add_argument("--steps_per_epoch", type=int, default=0)
+    p.add_argument("--save_dir", default="weights")
+    p.add_argument("--resume", default="", nargs="?", const="latest",
+                   help="checkpoint path, or bare flag to resume the latest")
+    p.add_argument("--ngpus", "--num_devices", dest="num_devices", type=int,
+                   default=0, help="devices on the data axis (0 = all visible)")
+    p.add_argument("--profile_dir", default="",
+                   help="if set, jax.profiler traces train steps here")
+    return p
+
+
+def build_test_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser("test.py", description="Run KG inference (TPU)")
+    _add_common(p)
+    p.add_argument("--weights", default="", help="checkpoint file/dir to load")
+    p.add_argument("--test_scales", default="1.0",
+                   help="comma-separated TTA scales, e.g. 0.75,1.0,1.25")
+    p.add_argument("--save_dir", default="results")
+    p.add_argument("--tile_size", type=int, default=512)
+    p.add_argument("--tile_overlap", type=int, default=64)
+    p.add_argument("--profile_dir", default="")
+    return p
+
+
+def build_eval_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser("eval.py", description="Evaluate mask AP")
+    p.add_argument("--pred_dir", default="results")
+    p.add_argument("--gt_dir", default="")
+    p.add_argument("--dataset", default="dsb2018")
+    p.add_argument("--protocol", default="dsb2018", choices=["dsb2018", "coco"])
+    return p
+
+
+def config_from_train_args(a: argparse.Namespace) -> Config:
+    c = Config()
+    return Config(
+        model=dataclasses.replace(c.model, backbone=a.backbone,
+                                  num_stacks=a.num_stacks),
+        data=dataclasses.replace(c.data, dataset=a.dataset, data_dir=a.data_dir,
+                                 input_size=a.input_size),
+        group=dataclasses.replace(c.group, max_peaks_per_class=a.max_peaks,
+                                  max_detections=a.max_detections,
+                                  score_thresh=a.conf_thresh, nms_iou=a.nms_iou),
+        train=dataclasses.replace(c.train, batch_size=a.batch_size, lr=a.lr,
+                                  num_epochs=a.num_epochs,
+                                  steps_per_epoch=a.steps_per_epoch,
+                                  save_dir=a.save_dir, resume=a.resume,
+                                  num_devices=a.num_devices, seed=a.seed),
+        infer=c.infer,
+    )
+
+
+def config_from_test_args(a: argparse.Namespace) -> Config:
+    c = Config()
+    scales = tuple(float(s) for s in str(a.test_scales).split(",") if s)
+    return Config(
+        model=dataclasses.replace(c.model, backbone=a.backbone,
+                                  num_stacks=a.num_stacks),
+        data=dataclasses.replace(c.data, dataset=a.dataset, data_dir=a.data_dir,
+                                 input_size=a.input_size),
+        group=dataclasses.replace(c.group, max_peaks_per_class=a.max_peaks,
+                                  max_detections=a.max_detections,
+                                  score_thresh=a.conf_thresh, nms_iou=a.nms_iou),
+        train=c.train,
+        infer=dataclasses.replace(c.infer, weights=a.weights, test_scales=scales,
+                                  input_size=a.input_size, save_dir=a.save_dir,
+                                  tile_size=a.tile_size,
+                                  tile_overlap=a.tile_overlap),
+    )

@@ -1,0 +1,154 @@
+"""Keypoint-graph grouping: peaks → boxes.  [SURVEY.md C10; §7.3 item 1]
+
+The reference groups decoded keypoints into boxes with per-image Python loops
+over keypoint pairs — "THE bottleneck" its TPU rebuild targets (SURVEY.md
+§3.2).  Here grouping is a single fixed-shape device program: an all-pairs
+compatibility tensor plus vectorized nearest-keypoint support lookups, so the
+O(K²·K) pair scan runs on the VPU instead of the host.
+
+Graph semantics (OPEN-1/OPEN-9 resolution, paper rule; every constant is a
+`GroupConfig` field):
+
+  nodes   = decoded peaks of the 5 classes (TL, TR, BL, BR, CENTER);
+  edges   = (TL_i, BR_j) pairs with valid geometry (x/y ordered, min size);
+  an edge is *supported* by the other three classes through geometric
+  consistency — the pair's midpoint must lie near a CENTER peak, and the
+  implied (BR_j.x, TL_i.y) / (TL_i.x, BR_j.y) corners near TR / BL peaks
+  (tolerances relative to the pair's diagonal, support decaying linearly
+  with distance so sloppy matches score low);
+  edges are then resolved into a *matching*: boxes are emitted greedily by
+  descending edge score, and each TL / BR node is consumed by at most one
+  box — this kills cross-instance "ghost" pairs, whose corners are claimed
+  first by the true (higher-scoring) boxes.  Residual duplicates are removed
+  by box NMS downstream.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+from jax import lax
+
+from kgtpu.config import KP_BL, KP_BR, KP_CENTER, KP_TL, KP_TR, GroupConfig
+from kgtpu.ops.decode import Peaks
+
+
+class Boxes(NamedTuple):
+    """Fixed-count detections, padded with valid=False rows."""
+
+    boxes: jnp.ndarray   # [D, 4] (x0, y0, x1, y1), output-stride coords
+    scores: jnp.ndarray  # [D] in [0, 1], descending over valid rows
+    valid: jnp.ndarray   # [D] bool
+
+
+def _nearest_support(
+    points: jnp.ndarray,      # [..., 2] query points (expected kp location)
+    diag: jnp.ndarray,        # [...] pair diagonal (tolerance scale)
+    kp_xy: jnp.ndarray,       # [K, 2] candidate peaks of the supporting class
+    kp_score: jnp.ndarray,    # [K]
+    score_thresh: float,
+    tol: float,
+) -> jnp.ndarray:
+    """Distance-decayed score of the nearest supporting peak.
+
+    Returns `peak_score * (1 - dist / (tol * diag))` for the nearest valid
+    peak when dist < tol*diag, else 0 — so support fades with geometric
+    inconsistency instead of being a hard in/out test.
+    """
+    d2 = jnp.sum(
+        (points[..., None, :] - kp_xy[None, None, :, :]) ** 2, axis=-1
+    )                                                     # [..., K]
+    d2 = jnp.where(kp_score[None, None, :] > score_thresh, d2, jnp.inf)
+    best = jnp.argmin(d2, axis=-1)                        # [...]
+    best_d = jnp.sqrt(jnp.take_along_axis(d2, best[..., None], axis=-1)[..., 0])
+    best_score = kp_score[best]
+    decay = jnp.maximum(1.0 - best_d / jnp.maximum(tol * diag, 1e-6), 0.0)
+    return jnp.where(jnp.isfinite(best_d), best_score * decay, 0.0)
+
+
+def group_keypoints(peaks: Peaks, cfg: GroupConfig) -> Boxes:
+    """Assemble boxes from decoded per-class peaks.
+
+    Args:
+      peaks: decoder output, scores [5, K] / coords [5, K, 2].
+      cfg: grouping thresholds (static — baked into the jitted program).
+
+    Returns:
+      Boxes with `cfg.max_detections` rows, score-descending, NOT yet
+      NMS-deduplicated (run `ops.nms.box_nms` on the result).
+    """
+    tl_s, br_s = peaks.scores[KP_TL], peaks.scores[KP_BR]         # [K]
+    tl, br = peaks.coords[KP_TL], peaks.coords[KP_BR]             # [K, 2]
+
+    # --- all-pairs candidate geometry: i indexes TL, j indexes BR ---------
+    dx = br[None, :, 0] - tl[:, None, 0]                          # [K, K]
+    dy = br[None, :, 1] - tl[:, None, 1]
+    geom_ok = (
+        (dx >= cfg.min_box_size)
+        & (dy >= cfg.min_box_size)
+        & (tl_s[:, None] > cfg.kp_score_thresh)
+        & (br_s[None, :] > cfg.kp_score_thresh)
+    )
+    diag = jnp.sqrt(dx * dx + dy * dy)
+
+    # --- graph support from the other three keypoint classes -------------
+    mid = 0.5 * (tl[:, None, :] + br[None, :, :])                 # [K, K, 2]
+    center_sup = _nearest_support(
+        mid, diag, peaks.coords[KP_CENTER], peaks.scores[KP_CENTER],
+        cfg.center_thresh, cfg.center_tol,
+    )
+    exp_tr = jnp.stack(
+        [jnp.broadcast_to(br[None, :, 0], dx.shape),
+         jnp.broadcast_to(tl[:, None, 1], dx.shape)], axis=-1,
+    )
+    exp_bl = jnp.stack(
+        [jnp.broadcast_to(tl[:, None, 0], dx.shape),
+         jnp.broadcast_to(br[None, :, 1], dx.shape)], axis=-1,
+    )
+    tr_sup = _nearest_support(
+        exp_tr, diag, peaks.coords[KP_TR], peaks.scores[KP_TR],
+        cfg.kp_score_thresh, cfg.edge_tol,
+    )
+    bl_sup = _nearest_support(
+        exp_bl, diag, peaks.coords[KP_BL], peaks.scores[KP_BL],
+        cfg.kp_score_thresh, cfg.edge_tol,
+    )
+
+    # --- edge score: weighted mean of member keypoint scores --------------
+    w_sum = cfg.w_corner + cfg.w_center + cfg.w_edge
+    score = (
+        cfg.w_corner * 0.5 * (tl_s[:, None] + br_s[None, :])
+        + cfg.w_center * center_sup
+        + cfg.w_edge * 0.5 * (tr_sup + bl_sup)
+    ) / w_sum
+
+    ok = geom_ok & (score > cfg.score_thresh)
+    if cfg.require_center:
+        ok = ok & (center_sup > 0.0)
+
+    # --- greedy matching: emit boxes by descending score, consuming each
+    # TL / BR node at most once.  `lax.scan` of argmax+suppress keeps the
+    # whole match on device with a static trip count.  Tie order: score
+    # desc, then flat (tl_idx * K + br_idx) asc via argmax's first-match
+    # rule — the determinism rule of SURVEY.md §7.3 item 2.
+    k = tl.shape[0]
+    flat0 = jnp.where(ok, score, -1.0).reshape(-1)                # [K*K]
+    rows = jnp.arange(k * k) // k
+    cols = jnp.arange(k * k) % k
+
+    def pick(flat, _):
+        idx = jnp.argmax(flat)
+        s = flat[idx]
+        ti, bj = idx // k, idx % k
+        used = (rows == ti) | (cols == bj)
+        flat_next = jnp.where(s > 0.0, jnp.where(used, -1.0, flat), flat)
+        return flat_next, (s, ti, bj)
+
+    _, (top_scores, ti, bj) = lax.scan(
+        pick, flat0, None, length=cfg.max_detections)
+    boxes = jnp.stack(
+        [tl[ti, 0], tl[ti, 1], br[bj, 0], br[bj, 1]], axis=-1,
+    )
+    valid = top_scores > 0.0
+    return Boxes(boxes=boxes, scores=jnp.maximum(top_scores, 0.0), valid=valid)

@@ -1,0 +1,92 @@
+"""Tests for the keypoint-graph grouper (C10) — the hardest op (§7.3 item 1)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from kgtpu.config import GroupConfig
+from kgtpu.ops.decode import Peaks
+from kgtpu.ops.group import group_keypoints
+from kgtpu.ops.targets import keypoints_from_boxes
+
+
+def _peaks_from_boxes(boxes, scores, k=16, noise=0.0, rng=None):
+    """Build ideal per-class peaks from GT boxes (all 5 classes present)."""
+    n = boxes.shape[0]
+    kpts = np.asarray(keypoints_from_boxes(jnp.asarray(boxes)))  # [N,5,2]
+    if noise and rng is not None:
+        kpts = kpts + rng.normal(0, noise, kpts.shape)
+    ps = np.zeros((5, k), np.float32)
+    pc = np.zeros((5, k, 2), np.float32)
+    for c in range(5):
+        order = np.argsort(-scores)
+        for slot, i in enumerate(order[:k]):
+            ps[c, slot] = scores[i]
+            pc[c, slot] = kpts[i, c]
+    return Peaks(scores=jnp.asarray(ps), coords=jnp.asarray(pc),
+                 indices=jnp.zeros((5, k), jnp.int32))
+
+
+def test_group_recovers_clean_boxes():
+    boxes = np.array(
+        [[4.0, 6.0, 20.0, 18.0],
+         [30.0, 5.0, 44.0, 27.0],
+         [10.0, 30.0, 26.0, 42.0]], np.float32)
+    scores = np.array([0.9, 0.8, 0.7], np.float32)
+    cfg = GroupConfig(max_peaks_per_class=16, max_detections=16)
+    out = jax.jit(lambda p: group_keypoints(p, cfg))(_peaks_from_boxes(boxes, scores))
+    got_boxes = np.asarray(out.boxes)[np.asarray(out.valid)]
+    # every GT box must appear among the valid candidates (pre-NMS)
+    for b in boxes:
+        d = np.abs(got_boxes - b).max(axis=-1)
+        assert d.min() < 1e-4, f"box {b} not recovered"
+    # and the three top-scored detections are the three GT boxes
+    top3 = np.asarray(out.boxes)[:3]
+    for b in boxes:
+        assert np.abs(top3 - b).max(axis=-1).min() < 1e-4
+
+
+def test_group_rejects_cross_pairs_without_center():
+    # two diagonal boxes whose TL/BR cross-pairing has no center support
+    boxes = np.array([[2.0, 2.0, 10.0, 10.0], [30.0, 30.0, 40.0, 40.0]], np.float32)
+    scores = np.array([0.9, 0.9], np.float32)
+    cfg = GroupConfig(max_peaks_per_class=8, max_detections=16)
+    out = group_keypoints(_peaks_from_boxes(boxes, scores), cfg)
+    got = np.asarray(out.boxes)[np.asarray(out.valid)]
+    # the cross box (2,2,40,40) must be rejected (its midpoint (21,21) is far
+    # from both centers relative to tolerance)
+    for b in got:
+        assert not (abs(b[0] - 2) < 1 and abs(b[2] - 40) < 1), f"ghost box {b}"
+
+
+def test_group_scores_monotonic_and_padding_invalid():
+    boxes = np.array([[4.0, 6.0, 20.0, 18.0]], np.float32)
+    out = group_keypoints(
+        _peaks_from_boxes(boxes, np.array([0.9], np.float32)),
+        GroupConfig(max_peaks_per_class=8, max_detections=8),
+    )
+    s = np.asarray(out.scores)
+    v = np.asarray(out.valid)
+    assert (np.diff(s) <= 1e-6).all()
+    assert s[~v].max(initial=0.0) == 0.0
+    assert v[0]
+
+
+def test_group_robust_to_keypoint_noise():
+    rng = np.random.default_rng(0)
+    boxes = np.array([[8.0, 8.0, 40.0, 30.0], [50.0, 20.0, 90.0, 60.0]], np.float32)
+    scores = np.array([0.85, 0.8], np.float32)
+    peaks = _peaks_from_boxes(boxes, scores, noise=1.0, rng=rng)
+    out = group_keypoints(peaks, GroupConfig(max_peaks_per_class=8, max_detections=8))
+    got = np.asarray(out.boxes)[np.asarray(out.valid)]
+    for b in boxes:
+        assert np.abs(got - b).max(axis=-1).min() < 3.0
+
+
+def test_group_min_box_size_filters_degenerate():
+    boxes = np.array([[10.0, 10.0, 10.5, 10.5]], np.float32)  # sub-min box
+    out = group_keypoints(
+        _peaks_from_boxes(boxes, np.array([0.99], np.float32)),
+        GroupConfig(max_peaks_per_class=8, max_detections=8, min_box_size=2.0),
+    )
+    assert not bool(np.asarray(out.valid).any())
