@@ -1,0 +1,89 @@
+"""Checkpointing with reference-like semantics.  [SURVEY.md C18, §5]
+
+The reference saves `torch.save(state_dict)` per epoch into a weights dir and
+resumes/loads by epoch-numbered file.  Same discipline here — epoch-numbered
+subdirectories (`model_<epoch>`) under save_dir, written atomically by orbax
+— plus the full train state ({params, opt_state, step, epoch, rng}) so
+`--resume` continues exactly.  Preemption recovery = restart + `--resume`
+(single-host; no elastic layer needed — SURVEY.md §5).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+_NAME = re.compile(r"^model_(\d+)$")
+
+
+def _ckptr() -> ocp.PyTreeCheckpointer:
+    return ocp.PyTreeCheckpointer()
+
+
+def save(save_dir: str, epoch: int, state, extra: dict | None = None) -> str:
+    """Write save_dir/model_<epoch> atomically. Returns the path."""
+    os.makedirs(save_dir, exist_ok=True)
+    path = os.path.abspath(os.path.join(save_dir, f"model_{epoch}"))
+    payload = {
+        "params": state.params,
+        "opt_state": state.opt_state,
+        "step": np.asarray(state.step),
+        "epoch": np.asarray(epoch),
+    }
+    if extra:
+        payload["extra"] = extra
+    _ckptr().save(path, payload, force=True)
+    return path
+
+
+def latest_path(save_dir: str) -> str | None:
+    if not os.path.isdir(save_dir):
+        return None
+    best, best_e = None, -1
+    for d in os.listdir(save_dir):
+        m = _NAME.match(d)
+        if m and int(m.group(1)) > best_e:
+            best, best_e = d, int(m.group(1))
+    return os.path.join(save_dir, best) if best else None
+
+
+def resolve(path_or_dir: str) -> str:
+    """Accept a checkpoint dir, a weights dir, or 'latest' inside a dir."""
+    p = os.path.abspath(path_or_dir)
+    if os.path.basename(p).startswith("model_"):
+        return p
+    latest = latest_path(p)
+    if latest is None:
+        raise FileNotFoundError(f"no model_<epoch> checkpoints under {p}")
+    return os.path.abspath(latest)
+
+
+def restore(path_or_dir: str, state=None) -> dict:
+    """Restore a payload; with `state`, restores with matching structure and
+    returns {"state": new_state, "epoch": int}."""
+    path = resolve(path_or_dir)
+    if state is None:
+        return _ckptr().restore(path)
+    template = {
+        "params": state.params,
+        "opt_state": state.opt_state,
+        "step": np.asarray(state.step),
+        "epoch": np.asarray(0),
+    }
+    payload = _ckptr().restore(path, item=template)
+    new_state = state.replace(
+        params=payload["params"],
+        opt_state=payload["opt_state"],
+        step=int(payload["step"]),
+    )
+    return {"state": new_state, "epoch": int(payload["epoch"])}
+
+
+def restore_params(path_or_dir: str) -> dict:
+    """Params-only load for inference (test.py --weights)."""
+    payload = _ckptr().restore(resolve(path_or_dir))
+    return jax.tree.map(np.asarray, payload["params"])

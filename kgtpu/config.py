@@ -111,6 +111,8 @@ class TrainConfig:
     w_offset: float = 1.0
     w_wh: float = 0.1
     w_mask: float = 1.0
+    mask_train_rois: int = 16   # instances per image fed to the mask head
+    roi_jitter: float = 0.1     # train-time box jitter, fraction of box size
     focal_alpha: float = 2.0           # CornerNet penalty-reduced focal exponents
     focal_beta: float = 4.0
     # checkpoint semantics mirror the reference: epoch-numbered files + --resume
@@ -158,7 +160,8 @@ def tiny_test_config() -> Config:
         ),
         data=DataConfig(input_size=128, max_instances=16),
         group=GroupConfig(max_peaks_per_class=32, max_detections=32),
-        train=TrainConfig(batch_size=2, num_epochs=1, steps_per_epoch=2),
+        train=TrainConfig(batch_size=2, num_epochs=1, steps_per_epoch=2,
+                          mask_train_rois=4),
         infer=InferConfig(input_size=128),
     )
 

@@ -1,0 +1,125 @@
+"""Inference: one jitted program from image batch to instance masks.
+[SURVEY.md C15-C16; the rebuilt §3.2/§3.3 call stacks]
+
+The reference crosses the host/device boundary O(#boxes) times per image
+(decode on host, per-box crop → mask head → paste loops).  Here
+`build_infer_fn` returns ONE jit-compiled function:
+
+  images [B, H, W, 3]
+    → backbone + heads                       (MXU)
+    → decode_peaks (maxpool NMS + top-k)     (fixed shapes)
+    → group_keypoints (keypoint-graph match)
+    → box_nms
+    → crop_and_resize(features, boxes) → mask head   (batched over D boxes)
+    → paste_masks → per-image instance label map
+
+Nothing touches the host until the final fetch.  Multi-scale TTA runs the
+detector portion once per scale (each scale is its own compiled shape),
+merges with cross-scale NMS *on device*, and runs the mask stage once on the
+base-scale features.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+from kgtpu.config import Config
+from kgtpu.models import KGNet
+from kgtpu.ops.decode import decode_peaks
+from kgtpu.ops.group import Boxes, group_keypoints
+from kgtpu.ops.nms import box_nms, merge_scales
+from kgtpu.ops.roi import paste_masks
+
+
+def _detect_single(model: KGNet, cfg: Config, params, image: jnp.ndarray
+                   ) -> tuple[Boxes, jnp.ndarray]:
+    """image [H, W, 3] → (detections in stride coords, stride-4 features)."""
+    out = model.apply({"params": params}, image[None])
+    last = out["stacks"][-1]
+    peaks = decode_peaks(last["hm"][0], last["reg"][0],
+                         cfg.group.max_peaks_per_class)
+    cand = group_keypoints(peaks, cfg.group)
+    dets = box_nms(cand, cfg.group.nms_iou)
+    return dets, out["feat"][0]
+
+
+def _mask_single(model: KGNet, cfg: Config, params, feat: jnp.ndarray,
+                 dets: Boxes, height: int, width: int) -> dict:
+    """Stage 2 for one image: boxes (stride coords) → masks + label map."""
+    s = cfg.data.stride
+    logits = model.apply({"params": params}, feat, dets.boxes,
+                         method=KGNet.mask_logits)        # [D, m, m]
+    probs = jax.nn.sigmoid(logits)
+    boxes_px = dets.boxes * s
+    label, score_map = paste_masks(
+        probs, boxes_px, dets.scores, dets.valid, height, width,
+        thresh=cfg.group.mask_thresh)
+    return {
+        "boxes": boxes_px, "scores": dets.scores, "valid": dets.valid,
+        "masks": probs, "label_map": label, "score_map": score_map,
+    }
+
+
+def build_infer_fn(model: KGNet, cfg: Config) -> Callable:
+    """Jitted (params, images [B, H, W, 3]) → per-image detections + masks."""
+
+    @jax.jit
+    def infer(params, images):
+        def one(image):
+            dets, feat = _detect_single(model, cfg, params, image)
+            return _mask_single(model, cfg, params, feat, dets,
+                                images.shape[1], images.shape[2])
+        return jax.vmap(one)(images)
+
+    return infer
+
+
+def build_detect_fn(model: KGNet, cfg: Config) -> Callable:
+    """Jitted detector-only path (used per TTA scale): images → Boxes
+    (stride coords of THAT scale) stacked over the batch."""
+
+    @jax.jit
+    def detect(params, images):
+        def one(image):
+            dets, _ = _detect_single(model, cfg, params, image)
+            return dets
+        return jax.vmap(one)(images)
+
+    return detect
+
+
+def build_multiscale_fn(model: KGNet, cfg: Config) -> Callable:
+    """Multi-scale TTA for a single image.  [SURVEY.md C16 / §3.3]
+
+    Returns fn(params, {scale: image_at_scale}) where each value is the
+    image resized to round(scale * input_size); detections from every scale
+    are mapped to base-scale stride coords, merged with cross-scale NMS on
+    device, and the mask stage runs once on base-scale features.
+    """
+    scales = cfg.infer.test_scales
+    base = cfg.infer.input_size
+
+    @jax.jit
+    def infer_ms(params, images_by_scale: dict):
+        all_dets = []
+        base_feat = None
+        for sc in scales:
+            img = images_by_scale[f"{sc:g}"]
+            dets, feat = _detect_single(model, cfg, params, img)
+            if sc == 1.0:
+                base_feat = feat
+            # map boxes from this scale's stride grid to base-scale stride grid
+            factor = base / float(img.shape[0])
+            dets = Boxes(boxes=dets.boxes * factor, scores=dets.scores,
+                         valid=dets.valid)
+            all_dets.append(dets)
+        merged = merge_scales(all_dets, cfg.group.nms_iou,
+                              cfg.group.max_detections)
+        assert base_feat is not None, "test_scales must include 1.0"
+        return _mask_single(model, cfg, params, base_feat, merged, base, base)
+
+    return infer_ms

@@ -1,0 +1,73 @@
+"""Stacked-hourglass backbone.  [SURVEY.md C5; paper's backbone family]
+
+A fully-convolutional encoder–decoder producing stride-4 features, with
+optional intermediate stacks (CornerNet-style intermediate supervision: each
+stack gets its own prediction heads during training; inference reads the
+last).  Recursion depth and widths are static config — XLA sees one fused
+graph, no dynamic control flow.
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from kgtpu.models.blocks import ConvBlock, Residual, upsample2x
+
+
+class HourglassModule(nn.Module):
+    """One recursive hourglass: down → recurse → up, with skip connections."""
+
+    depth: int
+    features: int
+    norm: str = "group"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        up1 = Residual(self.features, norm=self.norm, dtype=self.dtype)(x)
+        low = nn.max_pool(x, (2, 2), strides=(2, 2))
+        low = Residual(self.features, norm=self.norm, dtype=self.dtype)(low)
+        if self.depth > 1:
+            low = HourglassModule(self.depth - 1, self.features, self.norm,
+                                  self.dtype)(low)
+        else:
+            low = Residual(self.features, norm=self.norm, dtype=self.dtype)(low)
+        low = Residual(self.features, norm=self.norm, dtype=self.dtype)(low)
+        return up1 + upsample2x(low)
+
+
+class HourglassBackbone(nn.Module):
+    """Stem (stride 4) + `num_stacks` hourglasses.
+
+    Returns a list of per-stack stride-4 feature maps, one per stack.
+    """
+
+    num_stacks: int = 2
+    features: int = 128
+    depth: int = 4
+    norm: str = "group"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = ConvBlock(self.features // 2, kernel=7, stride=2, norm=self.norm,
+                      dtype=self.dtype)(x)
+        x = Residual(self.features, stride=2, norm=self.norm, dtype=self.dtype)(x)
+
+        outs = []
+        for i in range(self.num_stacks):
+            hg = HourglassModule(self.depth, self.features, self.norm,
+                                 self.dtype)(x)
+            feat = ConvBlock(self.features, 3, norm=self.norm,
+                             dtype=self.dtype)(hg)
+            outs.append(feat)
+            if i < self.num_stacks - 1:
+                # inter-stack fusion: project both and re-enter
+                x = nn.relu(
+                    nn.Conv(self.features, (1, 1), use_bias=False,
+                            dtype=self.dtype)(x)
+                    + nn.Conv(self.features, (1, 1), use_bias=False,
+                              dtype=self.dtype)(feat)
+                )
+        return outs

@@ -1,0 +1,166 @@
+"""Jitted, sharded train step.  [SURVEY.md C14; §3.1 rebuilt]
+
+The reference's per-step host work (target rendering in DataLoader workers,
+batch.to(device), loss prints) collapses into ONE jitted program here:
+
+  batch (host, fixed shapes) → [device] render gaussian targets → forward
+  → focal/offset/mask losses → grads → all-reduce (mesh) → optax update
+
+Data parallelism is jit-with-shardings over a 1-axis mesh: batch arrays
+sharded on axis 0, state replicated; XLA inserts the gradient all-reduce
+over ICI (SURVEY.md §2.10).  The returned metrics dict is the only thing
+that ever leaves the device.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax.training import train_state
+
+from kgtpu import losses
+from kgtpu.config import Config
+from kgtpu.models import KGNet
+from kgtpu.ops import targets as targets_ops
+from kgtpu.ops.roi import crop_and_resize
+from kgtpu.parallel import batch_sharding, replicated
+
+
+class TrainState(train_state.TrainState):
+    """flax TrainState; `apply_fn` is the KGNet forward."""
+
+
+def make_optimizer(cfg: Config) -> optax.GradientTransformation:
+    tcfg = cfg.train
+    # warm up from 5% of peak (not 0 — a 0 init makes step 0 a no-op)
+    sched = optax.warmup_constant_schedule(
+        init_value=0.05 * tcfg.lr, peak_value=tcfg.lr,
+        warmup_steps=max(tcfg.lr_warmup_steps, 1))
+    chain = [optax.clip_by_global_norm(tcfg.grad_clip_norm)]
+    if tcfg.weight_decay > 0:
+        chain.append(optax.adamw(sched, weight_decay=tcfg.weight_decay))
+    else:
+        chain.append(optax.adam(sched))
+    return optax.chain(*chain)
+
+
+def create_train_state(cfg: Config, rng: jax.Array) -> TrainState:
+    model = KGNet(cfg=cfg.model)
+    h = w = cfg.data.input_size
+    dummy = jnp.zeros((1, h, w, 3), jnp.float32)
+    variables = model.init(rng, dummy, method=KGNet.init_all)
+    return TrainState.create(
+        apply_fn=model.apply, params=variables["params"],
+        tx=make_optimizer(cfg))
+
+
+def _jitter_boxes(boxes: jnp.ndarray, valid: jnp.ndarray, rng: jax.Array,
+                  frac: float) -> jnp.ndarray:
+    """Perturb box corners by ±frac·(w,h) — the mask head trains on imperfect
+    boxes so it tolerates stage-1 localization noise at inference."""
+    wh = jnp.stack([boxes[..., 2] - boxes[..., 0],
+                    boxes[..., 3] - boxes[..., 1]], axis=-1)
+    noise = jax.random.uniform(rng, boxes.shape, minval=-frac, maxval=frac)
+    delta = noise * jnp.concatenate([wh, wh], axis=-1)
+    out = boxes + delta
+    # keep jittered boxes non-degenerate
+    x0 = jnp.minimum(out[..., 0], out[..., 2] - 1.0)
+    y0 = jnp.minimum(out[..., 1], out[..., 3] - 1.0)
+    return jnp.stack([x0, y0, out[..., 2], out[..., 3]], axis=-1)
+
+
+def loss_fn(params, batch: dict, rng: jax.Array, model: KGNet, cfg: Config
+            ) -> tuple[jnp.ndarray, dict]:
+    s = cfg.data.stride
+    tcfg = cfg.train
+    images = batch["image"]
+    b, h, w, _ = images.shape
+    hs, ws = h // s, w // s
+
+    boxes_px = batch["boxes"]                       # [B, N, 4] input pixels
+    valid = batch["valid"]                          # [B, N]
+    boxes_st = boxes_px / s                         # stride coords
+    kpts = targets_ops.keypoints_from_boxes(boxes_st)            # [B, N, 5, 2]
+    sizes = jnp.stack([boxes_st[..., 3] - boxes_st[..., 1],
+                       boxes_st[..., 2] - boxes_st[..., 0]], axis=-1)
+
+    hm_t = targets_ops.render_heatmaps_batch(kpts, sizes, valid, hs, ws)
+
+    out = model.apply({"params": params}, images)
+    stacks = out["stacks"]
+
+    # --- keypoint losses, averaged over stacks (intermediate supervision) --
+    l_hm = jnp.mean(jnp.stack([
+        losses.focal_loss(st["hm"], hm_t, tcfg.focal_alpha, tcfg.focal_beta)
+        for st in stacks]))
+    l_off = jnp.mean(jnp.stack([
+        jnp.mean(jax.vmap(losses.offset_loss)(st["reg"], kpts, valid))
+        for st in stacks]))
+    total = tcfg.w_heatmap * l_hm + tcfg.w_offset * l_off
+    metrics = {"loss_hm": l_hm, "loss_off": l_off}
+
+    if cfg.model.use_wh_head:
+        l_wh = jnp.mean(jnp.stack([
+            jnp.mean(jax.vmap(losses.wh_loss)(st["wh"], boxes_st, valid))
+            for st in stacks]))
+        total = total + tcfg.w_wh * l_wh
+        metrics["loss_wh"] = l_wh
+
+    # --- stage-2 mask head on jittered GT boxes ---------------------------
+    r = tcfg.mask_train_rois
+    roi_boxes_px = _jitter_boxes(boxes_px[:, :r], valid[:, :r], rng,
+                                 tcfg.roi_jitter)
+    roi_valid = valid[:, :r]
+
+    def per_image_masks(feat, rb_px):
+        return model.apply({"params": params}, feat, rb_px / s,
+                           method=KGNet.mask_logits)    # [R, m, m]
+
+    mask_logits = jax.vmap(per_image_masks)(out["feat"], roi_boxes_px)
+
+    m = cfg.model.mask_size
+
+    def per_image_gt(label_map, rb_px):
+        crops = crop_and_resize(label_map[..., None].astype(jnp.float32),
+                                rb_px, m, method="nearest")[..., 0]
+        ids = jnp.arange(1, r + 1, dtype=jnp.float32)[:, None, None]
+        return (crops == ids).astype(jnp.float32)       # [R, m, m]
+
+    gt_masks = jax.vmap(per_image_gt)(batch["label_map"], roi_boxes_px)
+    l_mask = jnp.mean(jax.vmap(losses.mask_loss)(mask_logits, gt_masks,
+                                                 roi_valid))
+    total = total + tcfg.w_mask * l_mask
+    metrics["loss_mask"] = l_mask
+    metrics["loss"] = total
+    return total, metrics
+
+
+def make_train_step(model: KGNet, cfg: Config, mesh=None) -> Callable:
+    """Build the jitted train step.
+
+    With a mesh, the batch is expected sharded on axis 0 ("data") and the
+    state replicated; jit emits the cross-chip gradient all-reduce.
+    """
+
+    def step(state: TrainState, batch: dict, rng: jax.Array):
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        (_, metrics), grads = grad_fn(state.params, batch, rng, model, cfg)
+        new_state = state.apply_gradients(grads=grads)
+        metrics["grad_norm"] = optax.global_norm(grads)
+        return new_state, metrics
+
+    if mesh is None:
+        return jax.jit(step, donate_argnums=(0,))
+
+    repl = replicated(mesh)
+    bsh = batch_sharding(mesh)
+    return jax.jit(
+        step,
+        in_shardings=(repl, bsh, repl),
+        out_shardings=(repl, repl),
+        donate_argnums=(0,),
+    )

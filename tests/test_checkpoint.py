@@ -1,0 +1,51 @@
+"""Checkpoint semantics tests (C18): epoch naming, resume, params-only load."""
+
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from kgtpu import checkpoint, train_lib
+from kgtpu.config import tiny_test_config
+
+
+@pytest.fixture(scope="module")
+def state():
+    cfg = tiny_test_config()
+    return train_lib.create_train_state(cfg, jax.random.PRNGKey(0))
+
+
+def test_save_restore_roundtrip(tmp_path, state):
+    d = str(tmp_path / "weights")
+    p = checkpoint.save(d, epoch=3, state=state)
+    assert os.path.basename(p) == "model_3"
+    out = checkpoint.restore(d, state=state)
+    assert out["epoch"] == 3
+    a = jax.tree.leaves(state.params)
+    b = jax.tree.leaves(out["state"].params)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_latest_selection(tmp_path, state):
+    d = str(tmp_path / "weights")
+    checkpoint.save(d, epoch=1, state=state)
+    checkpoint.save(d, epoch=10, state=state)
+    checkpoint.save(d, epoch=2, state=state)
+    assert checkpoint.resolve(d).endswith("model_10")
+
+
+def test_restore_params_only(tmp_path, state):
+    d = str(tmp_path / "weights")
+    path = checkpoint.save(d, epoch=0, state=state)
+    params = checkpoint.restore_params(path)
+    x = jax.tree.leaves(params)
+    y = jax.tree.leaves(state.params)
+    assert len(x) == len(y)
+    np.testing.assert_array_equal(x[0], np.asarray(y[0]))
+
+
+def test_resolve_missing_raises(tmp_path):
+    with pytest.raises(FileNotFoundError):
+        checkpoint.resolve(str(tmp_path / "nope"))

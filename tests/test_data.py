@@ -1,0 +1,84 @@
+"""Data layer tests (C2-C3): datasets, transforms, fixed-shape batching."""
+
+import numpy as np
+
+from kgtpu.config import DataConfig
+from kgtpu.data import SyntheticCells, batch_iterator, make_batch
+from kgtpu.data import transforms
+
+
+def test_synthetic_deterministic():
+    ds = SyntheticCells(size=96, num_images=4, seed=3)
+    a, b = ds[2], ds[2]
+    np.testing.assert_array_equal(a["image"], b["image"])
+    np.testing.assert_array_equal(a["label_map"], b["label_map"])
+    assert a["label_map"].max() >= 1
+
+
+def test_boxes_from_label_map():
+    label = np.zeros((20, 20), np.int32)
+    label[2:8, 3:10] = 5          # instance id 5
+    label[12:18, 12:19] = 2       # instance id 2 (bigger? 6x7=42 = same, 6*7)
+    boxes, valid, remap = transforms.boxes_from_label_map(label, 4)
+    assert valid.tolist() == [1, 1, 0, 0]
+    got = {tuple(b) for b in boxes[:2].tolist()}
+    assert (3.0, 2.0, 10.0, 8.0) in got
+    assert (12.0, 12.0, 19.0, 18.0) in got
+    relabeled = transforms.renumber_label_map(label, remap)
+    assert set(np.unique(relabeled)) == {0, 1, 2}
+    # slot order must match the box rows
+    for slot in range(2):
+        ys, xs = np.nonzero(relabeled == slot + 1)
+        assert xs.min() == boxes[slot][0] and ys.min() == boxes[slot][1]
+
+
+def test_truncation_keeps_largest():
+    label = np.zeros((30, 30), np.int32)
+    label[0:20, 0:20] = 1          # big
+    label[25:27, 25:27] = 2        # small
+    boxes, valid, _ = transforms.boxes_from_label_map(label, 1)
+    assert valid.tolist() == [1]
+    assert tuple(boxes[0]) == (0.0, 0.0, 20.0, 20.0)
+
+
+def test_batch_shapes_and_normalization():
+    cfg = DataConfig(input_size=64, max_instances=8)
+    ds = SyntheticCells(size=64, num_images=4, seed=0)
+    b = make_batch(ds, [0, 1], cfg, augment=False,
+                   rng=np.random.default_rng(0))
+    assert b["image"].shape == (2, 64, 64, 3)
+    assert b["boxes"].shape == (2, 8, 4)
+    assert b["valid"].shape == (2, 8)
+    assert b["label_map"].shape == (2, 64, 64)
+    assert b["image"].dtype == np.float32
+    assert abs(b["image"].mean()) < 3.0   # normalized scale
+    # boxes must be consistent with the (renumbered) label map
+    for bi in range(2):
+        for slot in range(8):
+            if b["valid"][bi, slot]:
+                ys, xs = np.nonzero(b["label_map"][bi] == slot + 1)
+                x0, y0, x1, y1 = b["boxes"][bi, slot]
+                assert xs.min() == x0 and xs.max() + 1 == x1
+                assert ys.min() == y0 and ys.max() + 1 == y1
+
+
+def test_augment_consistency():
+    """Augmented boxes must still tightly bound the warped label map."""
+    cfg = DataConfig(input_size=64, max_instances=8, flip_prob=1.0,
+                     scale_range=(0.9, 1.1), rotate_deg=15.0)
+    ds = SyntheticCells(size=96, num_images=2, seed=1)
+    b = make_batch(ds, [0], cfg, augment=True, rng=np.random.default_rng(7))
+    assert b["valid"][0].sum() >= 1
+    for slot in range(8):
+        if b["valid"][0, slot]:
+            ys, xs = np.nonzero(b["label_map"][0] == slot + 1)
+            x0, y0, x1, y1 = b["boxes"][0, slot]
+            assert xs.min() == x0 and ys.min() == y0
+
+
+def test_batch_iterator_bounded_and_prefetching():
+    cfg = DataConfig(input_size=48, max_instances=4)
+    ds = SyntheticCells(size=48, num_images=8, seed=0)
+    batches = list(batch_iterator(ds, cfg, 2, steps=3, seed=0))
+    assert len(batches) == 3
+    assert all(b["image"].shape == (2, 48, 48, 3) for b in batches)

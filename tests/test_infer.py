@@ -1,0 +1,60 @@
+"""Inference pipeline tests (C15-C16): single program, shapes, TTA merge."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from kgtpu import train_lib
+from kgtpu.config import tiny_test_config
+from kgtpu.infer import build_infer_fn, build_multiscale_fn
+from kgtpu.models import KGNet
+
+
+def _setup():
+    cfg = tiny_test_config()
+    state = train_lib.create_train_state(cfg, jax.random.PRNGKey(0))
+    model = KGNet(cfg=cfg.model)
+    return cfg, model, state.params
+
+
+def test_infer_shapes_and_jit():
+    cfg, model, params = _setup()
+    infer = build_infer_fn(model, cfg)
+    imgs = jnp.zeros((2, 128, 128, 3))
+    out = infer(params, imgs)
+    d = cfg.group.max_detections
+    m = cfg.model.mask_size
+    assert out["boxes"].shape == (2, d, 4)
+    assert out["scores"].shape == (2, d)
+    assert out["valid"].shape == (2, d)
+    assert out["masks"].shape == (2, d, m, m)
+    assert out["label_map"].shape == (2, 128, 128)
+    assert out["label_map"].dtype == jnp.int32
+
+
+def test_infer_untrained_mostly_empty():
+    """Untrained net (hm prior ~0.1 < score_thresh with decay) → few/no dets;
+    label map ids must stay within [0, D]."""
+    cfg, model, params = _setup()
+    infer = build_infer_fn(model, cfg)
+    rng = np.random.default_rng(0)
+    imgs = jnp.asarray(rng.normal(size=(1, 128, 128, 3)), jnp.float32)
+    out = infer(params, imgs)
+    lab = np.asarray(out["label_map"][0])
+    assert lab.min() >= 0 and lab.max() <= cfg.group.max_detections
+
+
+def test_multiscale_runs_and_merges():
+    cfg, model, params = _setup()
+    cfg = dataclasses.replace(
+        cfg, infer=dataclasses.replace(cfg.infer, test_scales=(0.5, 1.0)))
+    ms = build_multiscale_fn(model, cfg)
+    imgs = {
+        "0.5": jnp.zeros((64, 64, 3)),
+        "1": jnp.zeros((128, 128, 3)),
+    }
+    out = ms(params, imgs)
+    assert out["label_map"].shape == (128, 128)
+    assert out["boxes"].shape == (cfg.group.max_detections, 4)
