@@ -1,0 +1,88 @@
+#!/usr/bin/env python
+"""Headline benchmark: end-to-end two-stage inference images/sec at 512².
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N, ...}
+
+`vs_baseline` is measured against `benchmarks/self_baseline.json` — the
+round-1 number recorded on this repo's own first TPU run.  (No reference
+numbers are recoverable: BASELINE.json `published` is {} and the reference
+mount is empty — see BASELINE.md.  The ≥5×-A100 north-star is tracked by
+improving this self-baseline round over round.)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SELF_BASELINE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "benchmarks", "self_baseline.json")
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from kgtpu.config import Config
+    from kgtpu.infer import build_infer_fn
+    from kgtpu.models import KGNet
+    from kgtpu.train_lib import create_train_state
+
+    batch = int(os.environ.get("KGTPU_BENCH_BATCH", "16"))
+    iters = int(os.environ.get("KGTPU_BENCH_ITERS", "10"))
+
+    cfg = Config()
+    state = create_train_state(cfg, jax.random.PRNGKey(0))
+    model = KGNet(cfg=cfg.model)
+    infer = build_infer_fn(model, cfg)
+
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(
+        rng.normal(size=(batch, cfg.data.input_size, cfg.data.input_size, 3)),
+        jnp.float32)
+
+    # Execution is forced with an on-device scalar reduction rather than
+    # block_until_ready / full fetch: on the tunneled axon platform
+    # block_until_ready returns before compute finishes, and fetching the
+    # full label map would benchmark the tunnel (1 MB @ ~30 ms RTT), not the
+    # chip.  Scalar fetch = compute + one 4-byte round trip.
+    @jax.jit
+    def reduced(params, imgs):
+        out = infer(params, imgs)
+        return jnp.sum(out["label_map"]) + jnp.sum(out["scores"])
+
+    float(reduced(state.params, images))          # compile + warm
+    float(reduced(state.params, images))
+
+    t0 = time.perf_counter()
+    vals = [reduced(state.params, images) for _ in range(iters)]
+    _ = [float(v) for v in vals]                  # pipelined drain
+    dt = time.perf_counter() - t0
+    img_s = batch * iters / dt
+
+    vs = 1.0
+    if os.path.exists(SELF_BASELINE):
+        with open(SELF_BASELINE) as f:
+            base = json.load(f).get("e2e_images_per_sec_512")
+        if base:
+            vs = img_s / base
+
+    print(json.dumps({
+        "metric": "e2e_images_per_sec_512",
+        "value": round(img_s, 3),
+        "unit": "img/s",
+        "vs_baseline": round(vs, 3),
+        "batch": batch,
+        "backend": jax.default_backend(),
+        "device": str(jax.devices()[0]),
+    }))
+
+
+if __name__ == "__main__":
+    main()

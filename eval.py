@@ -1,0 +1,72 @@
+#!/usr/bin/env python
+"""Evaluation CLI — mask AP from test.py outputs.  [SURVEY.md C17]
+
+Compares <pred_dir>/<id>_label.png + <id>.json against dataset ground truth,
+resized to the same canvas the predictions were made on.
+
+Example:
+  python eval.py --pred_dir /tmp/results --dataset synthetic
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    from kgtpu.config import Config, build_eval_parser
+    import dataclasses
+
+    import cv2
+    import numpy as np
+
+    from kgtpu import evaluate
+    from kgtpu.data import build_dataset
+    from kgtpu.data.transforms import resize_sample
+
+    args = build_eval_parser().parse_args()
+
+    with open(os.path.join(args.pred_dir, "detections.json")) as f:
+        summary = json.load(f)
+    input_size = summary["input_size"]
+
+    dcfg = dataclasses.replace(
+        Config().data, dataset=args.dataset,
+        data_dir=args.gt_dir, input_size=input_size)
+    ds = build_dataset(dcfg, split="test")
+    gt_by_id = {}
+    for i in range(len(ds)):
+        raw = ds[i]
+        gt_by_id[raw.get("id", f"img_{i:05d}")] = raw
+
+    recs = []
+    for rec in summary["images"]:
+        iid = rec["id"]
+        if iid not in gt_by_id:
+            continue
+        pred = cv2.imread(os.path.join(args.pred_dir, f"{iid}_label.png"),
+                          cv2.IMREAD_UNCHANGED).astype(np.int32)
+        gt = resize_sample(gt_by_id[iid], input_size)["label_map"]
+        # scores indexed by label id - 1
+        d = max(int(pred.max()), len(rec["scores"]))
+        scores = np.zeros(max(d, 1), np.float32)
+        # test.py writes scores only for valid dets; valid dets are slots 0..k
+        for k, s in enumerate(rec["scores"]):
+            scores[k] = s
+        recs.append({"pred_label": pred, "scores": scores, "gt_label": gt})
+
+    if args.protocol == "dsb2018":
+        res = evaluate.evaluate_dsb2018(recs)
+        print(json.dumps({"mAP_dsb2018": res["mAP_dsb2018"],
+                          "num_images": len(recs)}))
+    else:
+        res = evaluate.evaluate_coco(recs)
+        print(json.dumps({**res, "num_images": len(recs)}))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,17 +1,26 @@
-"""ROI crop / mask paste as fixed-shape device gathers.  [SURVEY.md C12-C13]
+"""ROI crop / mask paste as separable-matmul resampling.  [SURVEY.md C12-C13]
 
 The reference crops each detected box on the host (cv2/interpolate) and
 pastes predicted masks back with per-box NumPy loops — crossing the device
-boundary O(#boxes) times per image (SURVEY.md §3.2).  Here both directions
-are bilinear gather programs over a *fixed* box count, so the two-stage
-inference path stays on device end to end.
+boundary O(#boxes) times per image (SURVEY.md §3.2).  The first TPU port of
+this used per-pixel bilinear *gathers*; profiling showed the paste scan at
+~990 ms/img on a v5e — gathers are the anti-pattern on TPU.
+
+The TPU-native formulation: 2-D bilinear interpolation is separable, so a
+resample is two small matrix products with banded tent-weight matrices,
+
+    crop[j, i]  = Σ_y Σ_x  Wy[j, y] · img[y, x] · Wx[i, x]
+    paste[y, x] = Σ_j Σ_i  Py[y, j] · mask[j, i] · Px[x, i]
+
+which run on the MXU (the profiled paste drops to ~MXU-noise).  Weight
+matrices are built from iota math per box; everything stays fixed-shape.
 
 Sampling convention (OPEN-10 resolution): half-pixel centers, cv2-style.
 Boxes live in continuous image coordinates where pixel `i` spans [i, i+1)
 with center i+0.5.  Crop output pixel `j` of `R` samples the source at
     X = x0 + (j + 0.5) * (x1 - x0) / R
-and paste inverts that mapping exactly, so crop∘paste is identity up to
-bilinear blur.  Getting this pair consistent is SURVEY.md §7.3 item 4.
+with edge clamping, and paste inverts that mapping exactly, so crop∘paste
+is identity up to bilinear blur (SURVEY.md §7.3 item 4).
 """
 
 from __future__ import annotations
@@ -20,31 +29,34 @@ import jax
 import jax.numpy as jnp
 
 
-def _bilinear_gather(img: jnp.ndarray, xs: jnp.ndarray, ys: jnp.ndarray) -> jnp.ndarray:
-    """Sample img [H, W, C] at continuous positions (xs, ys) [..., ] with
-    half-pixel centers and edge clamping.  Returns [..., C]."""
-    h, w, _ = img.shape
-    tx = xs - 0.5                       # continuous pos → pixel-center frame
-    ty = ys - 0.5
-    x0 = jnp.floor(tx)
-    y0 = jnp.floor(ty)
-    fx = tx - x0
-    fy = ty - y0
+def _crop_weights(start: jnp.ndarray, extent: jnp.ndarray, r: int,
+                  n_src: int) -> jnp.ndarray:
+    """[r, n_src] bilinear weights: crop texel j ← source pixels.
 
-    x0i = jnp.clip(x0.astype(jnp.int32), 0, w - 1)
-    x1i = jnp.clip(x0i + 1, 0, w - 1)
-    y0i = jnp.clip(y0.astype(jnp.int32), 0, h - 1)
-    y1i = jnp.clip(y0i + 1, 0, h - 1)
+    Row j is a tent of width 1 centered at clamp(start + (j+.5)·extent/r − .5,
+    0, n_src−1) — the clamp reproduces gather-style edge duplication.
+    """
+    j = jnp.arange(r, dtype=jnp.float32)
+    pos = start + (j + 0.5) * extent / r - 0.5            # [r]
+    pos = jnp.clip(pos, 0.0, n_src - 1.0)
+    src = jnp.arange(n_src, dtype=jnp.float32)
+    return jnp.maximum(1.0 - jnp.abs(pos[:, None] - src[None, :]), 0.0)
 
-    flat = img.reshape(h * w, -1)
-    g = lambda yi, xi: jnp.take(flat, yi * w + xi, axis=0)
-    v00, v01 = g(y0i, x0i), g(y0i, x1i)
-    v10, v11 = g(y1i, x0i), g(y1i, x1i)
-    fx = fx[..., None]
-    fy = fy[..., None]
-    top = v00 * (1 - fx) + v01 * fx
-    bot = v10 * (1 - fx) + v11 * fx
-    return top * (1 - fy) + bot * fy
+
+def _paste_weights(start: jnp.ndarray, extent: jnp.ndarray, r: int,
+                   n_out: int) -> jnp.ndarray:
+    """[n_out, r] bilinear weights: image pixel y ← mask texels.
+
+    Pixel centers outside the box get an all-zero row (the old `inside`
+    mask); positions inside are clamped to the mask's texel-center range.
+    """
+    y = jnp.arange(n_out, dtype=jnp.float32) + 0.5        # pixel centers
+    mx = (y - start) / jnp.maximum(extent, 1e-6) * r      # continuous mask pos
+    inside = (mx >= 0.0) & (mx <= r)
+    pos = jnp.clip(mx - 0.5, 0.0, r - 1.0)
+    tex = jnp.arange(r, dtype=jnp.float32)
+    w = jnp.maximum(1.0 - jnp.abs(pos[:, None] - tex[None, :]), 0.0)
+    return w * inside[:, None]
 
 
 def crop_and_resize(
@@ -59,29 +71,39 @@ def crop_and_resize(
       img: [H, W, C] source (image or feature map).
       boxes: [D, 4] (x0, y0, x1, y1) in `img`'s continuous pixel coords.
       out_size: static output resolution R.
-      method: "bilinear" (features/images) or "nearest" (label maps — ids
-        must not be blended).
+      method: "bilinear" (separable matmul, MXU) or "nearest" (gather —
+        label maps, ids must not be blended).
 
     Returns:
       [D, R, R, C] crops; degenerate boxes produce edge-clamped garbage and
       must be masked by the caller's validity mask.
     """
+    h, w, _ = img.shape
     r = out_size
-    grid = (jnp.arange(r, dtype=jnp.float32) + 0.5) / r          # [R]
 
-    def one(box):
-        x0, y0, x1, y1 = box[0], box[1], box[2], box[3]
-        xs = x0 + grid[None, :] * (x1 - x0)                       # [R, R]
-        ys = y0 + grid[:, None] * (y1 - y0)
-        if method == "nearest":
-            h, w, _ = img.shape
+    if method == "nearest":
+        grid = (jnp.arange(r, dtype=jnp.float32) + 0.5) / r
+
+        def one_nearest(box):
+            x0, y0, x1, y1 = box[0], box[1], box[2], box[3]
+            xs = x0 + grid[None, :] * (x1 - x0)
+            ys = y0 + grid[:, None] * (y1 - y0)
             xi = jnp.clip(jnp.floor(xs).astype(jnp.int32), 0, w - 1)
             yi = jnp.clip(jnp.floor(ys).astype(jnp.int32), 0, h - 1)
-            return jnp.take(img.reshape(h * w, -1), yi * w + xi, axis=0)
-        return _bilinear_gather(img, jnp.broadcast_to(xs, (r, r)),
-                                jnp.broadcast_to(ys, (r, r)))
+            out = jnp.take(img.reshape(h * w, -1), yi * w + xi, axis=0)
+            return jnp.broadcast_to(out, (r, r, img.shape[-1]))
 
-    return jax.vmap(one)(boxes)
+        return jax.vmap(one_nearest)(boxes)
+
+    def one(box):
+        wy = _crop_weights(box[1], box[3] - box[1], r, h)       # [r, H]
+        wx = _crop_weights(box[0], box[2] - box[0], r, w)       # [r, W]
+        tmp = jnp.einsum("jy,yxc->jxc", wy, img,
+                         preferred_element_type=jnp.float32)
+        return jnp.einsum("ix,jxc->jic", wx, tmp,
+                          preferred_element_type=jnp.float32)
+
+    return jax.vmap(one)(boxes.astype(jnp.float32)).astype(img.dtype)
 
 
 def paste_masks(
@@ -92,14 +114,15 @@ def paste_masks(
     height: int,
     width: int,
     thresh: float = 0.5,
+    box_chunk: int = 8,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Paste per-box mask probabilities into a full-resolution instance map.
 
     Overlaps resolve by score: each pixel is assigned to the highest-scoring
     instance whose (thresholded) mask covers it — the device-native form of
-    the reference's "resolve overlaps" paste loop [SURVEY.md C13].  Runs as a
-    `lax.scan` over the box axis so the [D, H, W] stack is never
-    materialized.
+    the reference's "resolve overlaps" paste loop [SURVEY.md C13].  Boxes are
+    processed `box_chunk` at a time under `lax.scan` (a [chunk, H, W]
+    intermediate instead of [D, H, W]).
 
     Args:
       masks: [D, r, r] mask probabilities in the box frame.
@@ -112,38 +135,48 @@ def paste_masks(
       (label_map [H, W] int32 with 0 = background and d+1 = instance d,
        score_map [H, W] float32 of the winning instance's score).
     """
-    r = masks.shape[-1]
-    ximg = jnp.arange(width, dtype=jnp.float32) + 0.5             # pixel centers
-    yimg = jnp.arange(height, dtype=jnp.float32) + 0.5
+    d, r, _ = masks.shape
+    pad = (-d) % box_chunk
+    if pad:
+        masks = jnp.pad(masks, ((0, pad), (0, 0), (0, 0)))
+        boxes = jnp.pad(boxes, ((0, pad), (0, 0)))
+        scores = jnp.pad(scores, ((0, pad),))
+        valid = jnp.pad(valid, ((0, pad),))
+    n_chunks = masks.shape[0] // box_chunk
+
+    masks_c = masks.reshape(n_chunks, box_chunk, r, r).astype(jnp.float32)
+    boxes_c = boxes.reshape(n_chunks, box_chunk, 4).astype(jnp.float32)
+    scores_c = scores.reshape(n_chunks, box_chunk).astype(jnp.float32)
+    valid_c = valid.reshape(n_chunks, box_chunk)
+    base_c = jnp.arange(n_chunks, dtype=jnp.int32) * box_chunk
 
     def step(carry, inp):
         label, best = carry
-        mask, box, score, v, d = inp
-        x0, y0, x1, y1 = box[0], box[1], box[2], box[3]
-        bw = jnp.maximum(x1 - x0, 1e-6)
-        bh = jnp.maximum(y1 - y0, 1e-6)
-        # image pixel center → continuous mask coordinate (inverse of crop)
-        mx = (ximg[None, :] - x0) / bw * r                        # [1, W]
-        my = (yimg[:, None] - y0) / bh * r                        # [H, 1]
-        inside = (mx >= 0) & (mx <= r) & (my >= 0) & (my <= r)
-        val = _bilinear_gather(
-            mask[..., None],
-            jnp.broadcast_to(mx, (height, width)),
-            jnp.broadcast_to(my, (height, width)),
-        )[..., 0]
-        fg = inside & (val > thresh) & v & (score > best)
-        label = jnp.where(fg, d + 1, label)
-        best = jnp.where(fg, score, best)
+        mask, box, score, v, base = inp
+        py = jax.vmap(
+            lambda b: _paste_weights(b[1], b[3] - b[1], r, height))(box)
+        px = jax.vmap(
+            lambda b: _paste_weights(b[0], b[2] - b[0], r, width))(box)
+        tmp = jnp.einsum("chr,crs->chs", py, mask,
+                         preferred_element_type=jnp.float32)
+        vals = jnp.einsum("chs,cws->chw", tmp, px,
+                          preferred_element_type=jnp.float32)   # [chunk, H, W]
+        fg = (vals > thresh) & v[:, None, None]
+        cand_score = jnp.where(fg, score[:, None, None], -1.0)  # [chunk,H,W]
+        winner = jnp.argmax(cand_score, axis=0).astype(jnp.int32)  # [H, W]
+        win_score = jnp.max(cand_score, axis=0)
+        # chunk ids are consecutive: winner's global id is arithmetic — a
+        # jnp.take gather here cost ~100 ms/step on the v5e.
+        win_id = base + winner + 1
+        better = (win_score > 0) & (win_score > best)
+        label = jnp.where(better, win_id, label)
+        best = jnp.where(better, win_score, best)
         return (label, best), None
 
-    d = masks.shape[0]
     init = (
         jnp.zeros((height, width), jnp.int32),
         jnp.zeros((height, width), jnp.float32),
     )
     (label, best), _ = jax.lax.scan(
-        step, init,
-        (masks.astype(jnp.float32), boxes.astype(jnp.float32),
-         scores.astype(jnp.float32), valid, jnp.arange(d, dtype=jnp.int32)),
-    )
+        step, init, (masks_c, boxes_c, scores_c, valid_c, base_c))
     return label, best

@@ -1,0 +1,120 @@
+#!/usr/bin/env python
+"""Inference CLI — mirrors the reference's test.py entry point.  [SURVEY.md C15-C16]
+
+Writes, per image:
+  <save_dir>/<id>_label.png     uint16 instance label map (0 = background)
+  <save_dir>/<id>.json          {"boxes": [[x0,y0,x1,y1],...], "scores": [...]}
+and a summary <save_dir>/detections.json.
+
+Example:
+  python test.py --dataset synthetic --weights /tmp/weights --input_size 128 \
+      --save_dir /tmp/results --test_scales 0.75,1.0,1.25
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    from kgtpu.config import build_test_parser, config_from_test_args
+
+    args = build_test_parser().parse_args()
+    cfg = config_from_test_args(args)
+
+    import cv2
+    import jax
+    import numpy as np
+
+    logging.basicConfig(
+        level=logging.INFO, format="%(asctime)s %(levelname)s %(message)s")
+    log = logging.getLogger("kgtpu.test")
+
+    from kgtpu import checkpoint, train_lib
+    from kgtpu.data import build_dataset
+    from kgtpu.data.loader import _prepare_sample
+    from kgtpu.data.transforms import resize_sample
+    from kgtpu.infer import build_infer_fn, build_multiscale_fn
+    from kgtpu.models import KGNet
+
+    if cfg.infer.weights:
+        params = checkpoint.restore_params(cfg.infer.weights)
+        log.info("loaded weights from %s", cfg.infer.weights)
+    else:
+        log.warning("no --weights given: running with random init")
+        params = train_lib.create_train_state(cfg, jax.random.PRNGKey(0)).params
+
+    model = KGNet(cfg=cfg.model)
+    scales = cfg.infer.test_scales
+    multiscale = tuple(scales) != (1.0,)
+    infer = (build_multiscale_fn if multiscale else build_infer_fn)(model, cfg)
+    ds = build_dataset(cfg.data, split="test")
+    os.makedirs(cfg.infer.save_dir, exist_ok=True)
+    rng = np.random.default_rng(0)
+    base = cfg.infer.input_size
+
+    if getattr(args, "profile_dir", ""):
+        jax.profiler.start_trace(args.profile_dir)
+
+    summary = []
+    t0 = time.time()
+    for i in range(len(ds)):
+        raw = ds[i]
+        iid = raw.get("id", f"img_{i:05d}")
+        if multiscale:
+            imgs = {}
+            for sc in scales:
+                side = int(round(base * sc))
+                s = _prepare_sample(
+                    {**raw, "label_map": raw["label_map"]},
+                    cfg.data.__class__(**{**cfg.data.__dict__,
+                                          "input_size": side}),
+                    augment=False, rng=rng)
+                imgs[f"{sc:g}"] = s["image"]
+            out = infer(params, imgs)
+            label = np.asarray(out["label_map"])
+            boxes = np.asarray(out["boxes"])
+            dscores = np.asarray(out["scores"])
+            dvalid = np.asarray(out["valid"])
+        else:
+            s = _prepare_sample(raw, cfg.data, augment=False, rng=rng)
+            out = infer(params, s["image"][None])
+            label = np.asarray(out["label_map"][0])
+            boxes = np.asarray(out["boxes"][0])
+            dscores = np.asarray(out["scores"][0])
+            dvalid = np.asarray(out["valid"][0])
+
+        cv2.imwrite(os.path.join(cfg.infer.save_dir, f"{iid}_label.png"),
+                    label.astype(np.uint16))
+        rec = {
+            "id": iid,
+            "boxes": boxes[dvalid].tolist(),
+            "scores": dscores[dvalid].tolist(),
+            "num_instances": int(dvalid.sum()),
+        }
+        with open(os.path.join(cfg.infer.save_dir, f"{iid}.json"), "w") as f:
+            json.dump(rec, f)
+        summary.append(rec)
+        if i % 10 == 0:
+            log.info("%d/%d (%.2f img/s)", i + 1, len(ds),
+                     (i + 1) / max(time.time() - t0, 1e-6))
+
+    if getattr(args, "profile_dir", ""):
+        jax.profiler.stop_trace()
+
+    with open(os.path.join(cfg.infer.save_dir, "detections.json"), "w") as f:
+        json.dump({"images": summary, "input_size": base,
+                   "test_scales": list(scales)}, f)
+    log.info("wrote %d results to %s (%.2f img/s end-to-end)",
+             len(summary), cfg.infer.save_dir,
+             len(summary) / max(time.time() - t0, 1e-6))
+
+
+if __name__ == "__main__":
+    main()

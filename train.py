@@ -1,0 +1,91 @@
+#!/usr/bin/env python
+"""Training CLI — mirrors the reference's train.py entry point.  [SURVEY.md C1, C14]
+
+Example:
+  python train.py --dataset synthetic --num_epochs 2 --steps_per_epoch 20 \
+      --batch_size 4 --input_size 128 --save_dir /tmp/weights
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    from kgtpu.config import build_train_parser, config_from_train_args
+
+    args = build_train_parser().parse_args()
+    cfg = config_from_train_args(args)
+
+    import jax
+
+    logging.basicConfig(
+        level=logging.INFO, format="%(asctime)s %(levelname)s %(message)s")
+    log = logging.getLogger("kgtpu.train")
+
+    from kgtpu import checkpoint, train_lib
+    from kgtpu.data import batch_iterator, build_dataset
+    from kgtpu.models import KGNet
+    from kgtpu.parallel import make_mesh, replicated, shard_batch
+
+    tcfg = cfg.train
+    ds = build_dataset(cfg.data, split="train")
+    steps_per_epoch = tcfg.steps_per_epoch or max(len(ds) // tcfg.batch_size, 1)
+    log.info("dataset=%s n=%d steps/epoch=%d devices=%s",
+             cfg.data.dataset, len(ds), steps_per_epoch,
+             [d.platform for d in jax.devices()])
+
+    rng = jax.random.PRNGKey(tcfg.seed)
+    state = train_lib.create_train_state(cfg, rng)
+    n_params = sum(x.size for x in jax.tree.leaves(state.params))
+    log.info("model=%s params=%.2fM", cfg.model.backbone, n_params / 1e6)
+
+    start_epoch = 0
+    if tcfg.resume:
+        src = tcfg.save_dir if tcfg.resume == "latest" else tcfg.resume
+        out = checkpoint.restore(src, state=state)
+        state, start_epoch = out["state"], out["epoch"] + 1
+        log.info("resumed from %s at epoch %d", src, start_epoch)
+
+    n_dev = tcfg.num_devices or jax.device_count()
+    mesh = make_mesh(n_dev) if n_dev > 1 else None
+    model = KGNet(cfg=cfg.model)
+    step_fn = train_lib.make_train_step(model, cfg, mesh=mesh)
+    if mesh is not None:
+        state = jax.device_put(state, replicated(mesh))
+        log.info("data-parallel over %d devices", n_dev)
+
+    profile_dir = getattr(args, "profile_dir", "")
+
+    for epoch in range(start_epoch, tcfg.num_epochs):
+        it = batch_iterator(ds, cfg.data, tcfg.batch_size, augment=True,
+                            seed=tcfg.seed + epoch, steps=steps_per_epoch)
+        t0, seen = time.time(), 0
+        if profile_dir and epoch == start_epoch:
+            jax.profiler.start_trace(profile_dir)
+        for i, batch in enumerate(it):
+            if mesh is not None:
+                batch = shard_batch(batch, mesh)
+            state, metrics = step_fn(
+                state, batch, jax.random.fold_in(rng, epoch * 100_000 + i))
+            seen += tcfg.batch_size
+            if i % 20 == 0:
+                m = {k: round(float(v), 4) for k, v in metrics.items()}
+                log.info("epoch %d step %d/%d %s (%.1f img/s)",
+                         epoch, i, steps_per_epoch, m,
+                         seen / max(time.time() - t0, 1e-6))
+        if profile_dir and epoch == start_epoch:
+            jax.profiler.stop_trace()
+            log.info("profile written to %s", profile_dir)
+        if (epoch + 1) % tcfg.save_every_epochs == 0 or epoch == tcfg.num_epochs - 1:
+            path = checkpoint.save(tcfg.save_dir, epoch, state)
+            log.info("saved %s", path)
+
+
+if __name__ == "__main__":
+    main()
