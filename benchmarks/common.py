@@ -1,0 +1,40 @@
+"""Shared benchmark harness.
+
+Timing rule for the tunneled axon TPU (see bench.py): execution is forced by
+an on-device scalar reduction + 4-byte fetch; `block_until_ready` returns
+early on this platform and full-tensor fetches would measure the tunnel.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def force_scalar(tree) -> jnp.ndarray:
+    """Reduce an arbitrary output pytree to one f32 scalar (forces compute)."""
+    leaves = [jnp.sum(x.astype(jnp.float32)) for x in jax.tree.leaves(tree)
+              if hasattr(x, "astype")]
+    return sum(leaves)
+
+
+def bench_fn(fn, *args, iters: int = 10, warmup: int = 2) -> dict:
+    """fn(*args) → pytree.  Returns {sec_per_call, calls_per_sec}."""
+    red = jax.jit(lambda *a: force_scalar(fn(*a)))
+    float(red(*args))                       # compile
+    for _ in range(warmup):
+        float(red(*args))
+    t0 = time.perf_counter()
+    vals = [red(*args) for _ in range(iters)]
+    _ = [float(v) for v in vals]            # pipelined drain
+    dt = time.perf_counter() - t0
+    return {"sec_per_call": dt / iters, "calls_per_sec": iters / dt}
+
+
+def emit(payload: dict) -> None:
+    payload.setdefault("backend", jax.default_backend())
+    payload.setdefault("device", str(jax.devices()[0]))
+    print(json.dumps(payload))

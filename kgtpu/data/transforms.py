@@ -76,7 +76,14 @@ def boxes_from_label_map(label: np.ndarray, max_instances: int
     Returns (boxes [N,4] f32, valid [N] f32, remap [N] int32) where remap[i]
     is the original label id of padded slot i (0 for padding) — used to
     renumber the label map so id i+1 ↔ slot i.
+
+    Uses the native single-pass C++ op when available (one O(H·W) sweep vs
+    NumPy's per-id nonzero scans — SURVEY.md §2.9, kgtpu/native).
     """
+    from kgtpu import native
+    out = native.boxes_from_label_map(label, max_instances)
+    if out is not None:
+        return out
     n = max_instances
     ids = np.unique(label)
     ids = ids[ids > 0]
@@ -88,7 +95,9 @@ def boxes_from_label_map(label: np.ndarray, max_instances: int
         rows.append((float(len(xs)), i,
                      float(xs.min()), float(ys.min()),
                      float(xs.max() + 1), float(ys.max() + 1)))
-    rows.sort(reverse=True)           # biggest instances survive truncation
+    # biggest instances survive truncation; ties break id-ascending (matches
+    # the native op)
+    rows.sort(key=lambda r: (-r[0], r[1]))
     rows = rows[:n]
 
     boxes = np.zeros((n, 4), np.float32)
@@ -103,6 +112,10 @@ def boxes_from_label_map(label: np.ndarray, max_instances: int
 
 def renumber_label_map(label: np.ndarray, remap: np.ndarray) -> np.ndarray:
     """Renumber label ids so slot i's instance has id i+1 (0 stays bg)."""
+    from kgtpu import native
+    out = native.renumber_label_map(label, remap)
+    if out is not None:
+        return out
     out = np.zeros_like(label)
     for slot, orig in enumerate(remap):
         if orig > 0:

@@ -34,6 +34,28 @@ def mask_iou_matrix(preds: list[np.ndarray], gts: list[np.ndarray]) -> np.ndarra
     return inter / np.maximum(union, 1e-9)
 
 
+def iou_from_label_maps(pred: np.ndarray, gt: np.ndarray
+                        ) -> tuple[np.ndarray, list[int], list[int]]:
+    """IoU between the *present* instances of two label maps.
+
+    Returns (iou [P, G], pred_ids, gt_ids) where rows/cols follow the
+    ascending present-id order.  Uses the native single-pass op when
+    available (kgtpu/native), NumPy mask expansion otherwise.
+    """
+    pred_ids = [int(i) for i in np.unique(pred) if i > 0]
+    gt_ids = [int(i) for i in np.unique(gt) if i > 0]
+    from kgtpu import native
+    dense = native.label_map_iou(pred, gt)
+    if dense is not None:
+        rows = [i - 1 for i in pred_ids]
+        cols = [i - 1 for i in gt_ids]
+        return dense[np.ix_(rows, cols)] if rows and cols else np.zeros(
+            (len(rows), len(cols))), pred_ids, gt_ids
+    iou = mask_iou_matrix([pred == i for i in pred_ids],
+                          [gt == i for i in gt_ids])
+    return iou, pred_ids, gt_ids
+
+
 def _greedy_match(iou: np.ndarray, scores: np.ndarray, t: float) -> int:
     """Greedy by score: #TP at IoU threshold t."""
     used = np.zeros(iou.shape[1], bool)
@@ -51,31 +73,36 @@ def _greedy_match(iou: np.ndarray, scores: np.ndarray, t: float) -> int:
     return tp
 
 
-def dsb2018_image_score(pred_masks: list[np.ndarray], pred_scores: np.ndarray,
-                        gt_masks: list[np.ndarray]) -> float:
+def dsb2018_image_score(iou: np.ndarray, pred_scores: np.ndarray,
+                        n_gt: int) -> float:
     """Mean over thresholds of TP/(TP+FP+FN) for one image."""
-    if not gt_masks:
-        return 1.0 if not pred_masks else 0.0
-    iou = mask_iou_matrix(pred_masks, gt_masks)
+    n_pred = iou.shape[0]
+    if n_gt == 0:
+        return 1.0 if n_pred == 0 else 0.0
     vals = []
     for t in IOU_THRESHOLDS:
-        tp = _greedy_match(iou, pred_scores, t) if pred_masks else 0
-        fp = len(pred_masks) - tp
-        fn = len(gt_masks) - tp
+        tp = _greedy_match(iou, pred_scores, t) if n_pred else 0
+        fp = n_pred - tp
+        fn = n_gt - tp
         vals.append(tp / max(tp + fp + fn, 1))
     return float(np.mean(vals))
+
+
+def _rec_iou(rec: dict) -> tuple[np.ndarray, np.ndarray, int]:
+    """(iou [P,G], pred scores [P], n_gt) for one per-image record."""
+    iou, pred_ids, gt_ids = iou_from_label_maps(rec["pred_label"],
+                                                rec["gt_label"])
+    s = (np.asarray([rec["scores"][i - 1] for i in pred_ids], np.float32)
+         if pred_ids else np.zeros(0, np.float32))
+    return iou, s, len(gt_ids)
 
 
 def evaluate_dsb2018(per_image: list[dict]) -> dict:
     """per_image: [{"pred_label": HxW int, "scores": [D], "gt_label": HxW int}]."""
     scores = []
     for rec in per_image:
-        preds = instance_masks_from_label_map(rec["pred_label"])
-        # label-map ids are 1-based slots into the score vector
-        ids = [i for i in np.unique(rec["pred_label"]) if i > 0]
-        s = np.asarray([rec["scores"][i - 1] for i in ids]) if ids else np.zeros(0)
-        gts = instance_masks_from_label_map(rec["gt_label"])
-        scores.append(dsb2018_image_score(preds, s, gts))
+        iou, s, n_gt = _rec_iou(rec)
+        scores.append(dsb2018_image_score(iou, s, n_gt))
     return {"mAP_dsb2018": float(np.mean(scores)) if scores else 0.0,
             "per_image": scores}
 
@@ -85,17 +112,13 @@ def evaluate_coco(per_image: list[dict]) -> dict:
     all_matches = {t: [] for t in IOU_THRESHOLDS}   # (score, is_tp)
     n_gt = 0
     for rec in per_image:
-        preds = instance_masks_from_label_map(rec["pred_label"])
-        ids = [i for i in np.unique(rec["pred_label"]) if i > 0]
-        s = np.asarray([rec["scores"][i - 1] for i in ids]) if ids else np.zeros(0)
-        gts = instance_masks_from_label_map(rec["gt_label"])
-        n_gt += len(gts)
-        iou = mask_iou_matrix(preds, gts)
+        iou, s, ng = _rec_iou(rec)
+        n_gt += ng
         for t in IOU_THRESHOLDS:
-            used = np.zeros(len(gts), bool)
+            used = np.zeros(ng, bool)
             for i in np.argsort(-s):
                 j, best = -1, t
-                for jj in range(len(gts)):
+                for jj in range(ng):
                     if not used[jj] and iou[i, jj] >= best:
                         best, j = iou[i, jj], jj
                 if j >= 0:

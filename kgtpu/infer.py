@@ -26,6 +26,7 @@ from typing import Callable
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from kgtpu.config import Config
 from kgtpu.models import KGNet
@@ -33,6 +34,12 @@ from kgtpu.ops.decode import decode_peaks
 from kgtpu.ops.group import Boxes, group_keypoints
 from kgtpu.ops.nms import box_nms, merge_scales
 from kgtpu.ops.roi import paste_masks
+from kgtpu.ops.tiling import (
+    extract_tiles,
+    ownership_mask,
+    stitch_tiles,
+    tile_grid,
+)
 
 
 def _detect_single(model: KGNet, cfg: Config, params, image: jnp.ndarray
@@ -123,3 +130,63 @@ def build_multiscale_fn(model: KGNet, cfg: Config) -> Callable:
         return _mask_single(model, cfg, params, base_feat, merged, base, base)
 
     return infer_ms
+
+
+def build_tiled_infer_fn(model: KGNet, cfg: Config,
+                         image_hw: tuple[int, int], mesh=None) -> Callable:
+    """Whole-slide inference: ONE jitted call per slide.  [BASELINE config 5]
+
+    Static tile grid → batched detector over tiles → per-tile ownership
+    filter (cross-tile dedup without global NMS) → per-tile mask stage and
+    local paste with globally-unique ids → on-device stitch.
+
+    With `mesh`, the tile axis is sharding-constrained onto the "data" axis,
+    so tiles fan out over chips and the stitch's gathers ride XLA collectives
+    — the spatial-DP layout of SURVEY.md §2.10.
+    """
+    h, w = image_hw
+    ts, ov = cfg.infer.tile_size, cfg.infer.tile_overlap
+    s = cfg.data.stride
+    d = cfg.group.max_detections
+    origins_np = tile_grid(h, w, ts, ov)
+    n_tiles = len(origins_np)
+
+    def infer_tiled(params, image):
+        origins = jnp.asarray(origins_np)
+        tiles = extract_tiles(image, origins, ts)          # [T, ts, ts, 3]
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+            tiles = jax.lax.with_sharding_constraint(
+                tiles, NamedSharding(mesh, PartitionSpec("data")))
+        out = model.apply({"params": params}, tiles)
+        last = out["stacks"][-1]
+
+        def per_tile(hm, reg, feat, origin, tile_idx):
+            peaks = decode_peaks(hm, reg, cfg.group.max_peaks_per_class)
+            dets = box_nms(group_keypoints(peaks, cfg.group),
+                           cfg.group.nms_iou)
+            dets_px = Boxes(boxes=dets.boxes * s, scores=dets.scores,
+                            valid=dets.valid)
+            own = ownership_mask(dets_px, origin, ts, ov, h, w)
+            logits = model.apply({"params": params}, feat, dets.boxes,
+                                 method=KGNet.mask_logits)
+            probs = jax.nn.sigmoid(logits)
+            label, score = paste_masks(
+                probs, dets_px.boxes, dets.scores, own, ts, ts,
+                thresh=cfg.group.mask_thresh, id_base=tile_idx * d)
+            gboxes = dets_px.boxes + jnp.asarray(
+                [origin[1], origin[0], origin[1], origin[0]], jnp.float32)
+            return label, score, gboxes, dets.scores, own
+
+        labels, scores_map, gboxes, gscores, gvalid = jax.vmap(per_tile)(
+            last["hm"], last["reg"], out["feat"], origins,
+            jnp.arange(n_tiles, dtype=jnp.int32))
+        g_label, g_score = stitch_tiles(labels, scores_map, origins, h, w)
+        return {
+            "label_map": g_label, "score_map": g_score,
+            "boxes": gboxes.reshape(-1, 4),
+            "scores": gscores.reshape(-1),
+            "valid": gvalid.reshape(-1),
+        }
+
+    return jax.jit(infer_tiled)

@@ -115,6 +115,8 @@ def paste_masks(
     width: int,
     thresh: float = 0.5,
     box_chunk: int = 8,
+    id_base: int | jnp.ndarray = 0,
+    init: tuple[jnp.ndarray, jnp.ndarray] | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Paste per-box mask probabilities into a full-resolution instance map.
 
@@ -130,9 +132,12 @@ def paste_masks(
       scores: [D]; valid: [D] bool.
       height, width: output resolution (static).
       thresh: foreground threshold.
+      id_base: instance d is written as id_base + d + 1 (tiled inference
+        stitches several paste passes with disjoint id ranges).
+      init: optional (label_map, score_map) carry to paste on top of.
 
     Returns:
-      (label_map [H, W] int32 with 0 = background and d+1 = instance d,
+      (label_map [H, W] int32 with 0 = background and id_base+d+1 = instance d,
        score_map [H, W] float32 of the winning instance's score).
     """
     d, r, _ = masks.shape
@@ -148,7 +153,8 @@ def paste_masks(
     boxes_c = boxes.reshape(n_chunks, box_chunk, 4).astype(jnp.float32)
     scores_c = scores.reshape(n_chunks, box_chunk).astype(jnp.float32)
     valid_c = valid.reshape(n_chunks, box_chunk)
-    base_c = jnp.arange(n_chunks, dtype=jnp.int32) * box_chunk
+    base_c = (jnp.arange(n_chunks, dtype=jnp.int32) * box_chunk
+              + jnp.asarray(id_base, jnp.int32))
 
     def step(carry, inp):
         label, best = carry
@@ -173,10 +179,10 @@ def paste_masks(
         best = jnp.where(better, win_score, best)
         return (label, best), None
 
-    init = (
+    carry0 = init if init is not None else (
         jnp.zeros((height, width), jnp.int32),
         jnp.zeros((height, width), jnp.float32),
     )
     (label, best), _ = jax.lax.scan(
-        step, init, (masks_c, boxes_c, scores_c, valid_c, base_c))
+        step, carry0, (masks_c, boxes_c, scores_c, valid_c, base_c))
     return label, best

