@@ -30,7 +30,8 @@ def main():
 
     def step(state, batch, rng):
         grad_fn = jax.value_and_grad(train_lib.loss_fn, has_aux=True)
-        (_, metrics), grads = grad_fn(state.params, batch, rng, model, cfg)
+        (_, (metrics, _stats)), grads = grad_fn(state.params, batch, rng,
+                                                model, cfg)
         return state.apply_gradients(grads=grads), metrics
 
     # bench the step without donation (bench_fn re-uses inputs)

@@ -34,6 +34,10 @@ def save(save_dir: str, epoch: int, state, extra: dict | None = None) -> str:
         "step": np.asarray(state.step),
         "epoch": np.asarray(epoch),
     }
+    if getattr(state, "batch_stats", None) is not None:
+        payload["batch_stats"] = state.batch_stats
+    if getattr(state, "ema_params", None) is not None:
+        payload["ema_params"] = state.ema_params
     if extra:
         payload["extra"] = extra
     _ckptr().save(path, payload, force=True)
@@ -74,16 +78,37 @@ def restore(path_or_dir: str, state=None) -> dict:
         "step": np.asarray(state.step),
         "epoch": np.asarray(0),
     }
+    if getattr(state, "batch_stats", None) is not None:
+        template["batch_stats"] = state.batch_stats
+    if getattr(state, "ema_params", None) is not None:
+        template["ema_params"] = state.ema_params
     payload = _ckptr().restore(path, item=template)
     new_state = state.replace(
         params=payload["params"],
         opt_state=payload["opt_state"],
         step=int(payload["step"]),
     )
+    if "batch_stats" in payload:
+        new_state = new_state.replace(batch_stats=payload["batch_stats"])
+    if "ema_params" in payload:
+        new_state = new_state.replace(ema_params=payload["ema_params"])
     return {"state": new_state, "epoch": int(payload["epoch"])}
 
 
-def restore_params(path_or_dir: str) -> dict:
-    """Params-only load for inference (test.py --weights)."""
+def restore_params(path_or_dir: str, use_ema: bool = False) -> dict:
+    """Inference-weights load (test.py --weights).
+
+    Returns bare params for GroupNorm models, or a full variables dict
+    ({"params", "batch_stats"}) for BatchNorm models — `kgtpu.infer`
+    accepts either.  With use_ema=True, EMA params are preferred when the
+    checkpoint has them.
+    """
     payload = _ckptr().restore(resolve(path_or_dir))
-    return jax.tree.map(np.asarray, payload["params"])
+    params = payload.get("ema_params") if use_ema else None
+    params = params if params is not None else payload["params"]
+    params = jax.tree.map(np.asarray, params)
+    if "batch_stats" in payload:
+        return {"params": params,
+                "batch_stats": jax.tree.map(np.asarray,
+                                            payload["batch_stats"])}
+    return params

@@ -178,6 +178,8 @@ def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--backbone", default="hourglass",
                    choices=["hourglass", "hourglass_lite", "resnet_fpn"])
     p.add_argument("--num_stacks", type=int, default=2)
+    p.add_argument("--norm", default="group", choices=["group", "batch"],
+                   help="backbone normalization (batch = reference-style BN)")
     p.add_argument("--K", dest="max_peaks", type=int, default=128,
                    help="per-class top-k peaks kept by the decoder")
     p.add_argument("--max_detections", type=int, default=128)
@@ -190,6 +192,7 @@ def build_train_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser("train.py", description="Train the KG model (TPU)")
     _add_common(p)
     p.add_argument("--batch_size", type=int, default=8)
+    p.add_argument("--ema_decay", type=float, default=0.0)
     p.add_argument("--lr", type=float, default=2.5e-4)
     p.add_argument("--num_epochs", type=int, default=100)
     p.add_argument("--steps_per_epoch", type=int, default=0)
@@ -207,6 +210,8 @@ def build_test_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser("test.py", description="Run KG inference (TPU)")
     _add_common(p)
     p.add_argument("--weights", default="", help="checkpoint file/dir to load")
+    p.add_argument("--use_ema", action="store_true",
+                   help="load EMA params from the checkpoint when present")
     p.add_argument("--test_scales", default="1.0",
                    help="comma-separated TTA scales, e.g. 0.75,1.0,1.25")
     p.add_argument("--save_dir", default="results")
@@ -229,7 +234,7 @@ def config_from_train_args(a: argparse.Namespace) -> Config:
     c = Config()
     return Config(
         model=dataclasses.replace(c.model, backbone=a.backbone,
-                                  num_stacks=a.num_stacks),
+                                  num_stacks=a.num_stacks, norm=a.norm),
         data=dataclasses.replace(c.data, dataset=a.dataset, data_dir=a.data_dir,
                                  input_size=a.input_size),
         group=dataclasses.replace(c.group, max_peaks_per_class=a.max_peaks,
@@ -239,7 +244,8 @@ def config_from_train_args(a: argparse.Namespace) -> Config:
                                   num_epochs=a.num_epochs,
                                   steps_per_epoch=a.steps_per_epoch,
                                   save_dir=a.save_dir, resume=a.resume,
-                                  num_devices=a.num_devices, seed=a.seed),
+                                  num_devices=a.num_devices, seed=a.seed,
+                                  ema_decay=a.ema_decay),
         infer=c.infer,
     )
 
@@ -249,7 +255,7 @@ def config_from_test_args(a: argparse.Namespace) -> Config:
     scales = tuple(float(s) for s in str(a.test_scales).split(",") if s)
     return Config(
         model=dataclasses.replace(c.model, backbone=a.backbone,
-                                  num_stacks=a.num_stacks),
+                                  num_stacks=a.num_stacks, norm=a.norm),
         data=dataclasses.replace(c.data, dataset=a.dataset, data_dir=a.data_dir,
                                  input_size=a.input_size),
         group=dataclasses.replace(c.group, max_peaks_per_class=a.max_peaks,

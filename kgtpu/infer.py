@@ -42,10 +42,18 @@ from kgtpu.ops.tiling import (
 )
 
 
+def _vars(params) -> dict:
+    """Accept bare params (GroupNorm models) or full variables incl.
+    batch_stats (BatchNorm models)."""
+    if isinstance(params, dict) and "params" in params:
+        return params
+    return {"params": params}
+
+
 def _detect_single(model: KGNet, cfg: Config, params, image: jnp.ndarray
                    ) -> tuple[Boxes, jnp.ndarray]:
     """image [H, W, 3] → (detections in stride coords, stride-4 features)."""
-    out = model.apply({"params": params}, image[None])
+    out = model.apply(_vars(params), image[None])
     last = out["stacks"][-1]
     peaks = decode_peaks(last["hm"][0], last["reg"][0],
                          cfg.group.max_peaks_per_class)
@@ -58,7 +66,7 @@ def _mask_single(model: KGNet, cfg: Config, params, feat: jnp.ndarray,
                  dets: Boxes, height: int, width: int) -> dict:
     """Stage 2 for one image: boxes (stride coords) → masks + label map."""
     s = cfg.data.stride
-    logits = model.apply({"params": params}, feat, dets.boxes,
+    logits = model.apply(_vars(params), feat, dets.boxes,
                          method=KGNet.mask_logits)        # [D, m, m]
     probs = jax.nn.sigmoid(logits)
     boxes_px = dets.boxes * s
@@ -158,7 +166,7 @@ def build_tiled_infer_fn(model: KGNet, cfg: Config,
             from jax.sharding import NamedSharding, PartitionSpec
             tiles = jax.lax.with_sharding_constraint(
                 tiles, NamedSharding(mesh, PartitionSpec("data")))
-        out = model.apply({"params": params}, tiles)
+        out = model.apply(_vars(params), tiles)
         last = out["stacks"][-1]
 
         def per_tile(hm, reg, feat, origin, tile_idx):
@@ -168,7 +176,7 @@ def build_tiled_infer_fn(model: KGNet, cfg: Config,
             dets_px = Boxes(boxes=dets.boxes * s, scores=dets.scores,
                             valid=dets.valid)
             own = ownership_mask(dets_px, origin, ts, ov, h, w)
-            logits = model.apply({"params": params}, feat, dets.boxes,
+            logits = model.apply(_vars(params), feat, dets.boxes,
                                  method=KGNet.mask_logits)
             probs = jax.nn.sigmoid(logits)
             label, score = paste_masks(

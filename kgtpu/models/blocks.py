@@ -8,30 +8,32 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 
-class AdaptiveGroupNorm(nn.Module):
-    """GroupNorm with the group count chosen per layer width: the largest
-    divisor of C not exceeding `max_groups` (thin stems stay valid)."""
+class Norm(nn.Module):
+    """Norm dispatcher.
 
+    "group": GroupNorm with the group count chosen per layer width (largest
+    divisor of C ≤ max_groups, so thin stems stay valid).  Batch-statistics
+    free — DP needs no sync-BN machinery (SURVEY.md §2.10).  Default.
+    "batch": real BatchNorm with running stats (reference-style).  Under a
+    GSPMD-sharded batch the mean/var reductions span the sharded axis, so
+    multi-chip training gets sync-BN semantics from the partitioner for free.
+    """
+
+    kind: str = "group"
     max_groups: int = 32
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
-        c = x.shape[-1]
-        g = max(d for d in range(1, min(self.max_groups, c) + 1) if c % d == 0)
-        return nn.GroupNorm(num_groups=g, dtype=self.dtype)(x)
-
-
-def norm_layer(kind: str, dtype) -> Callable:
-    """GroupNorm by default: batch-statistics-free, so data-parallel training
-    needs no cross-chip sync-BN (SURVEY.md §2.10); "batch" is available for
-    reference-style behavior."""
-    if kind == "group":
-        return lambda: AdaptiveGroupNorm(dtype=dtype)
-    if kind == "batch":
-        # use_running_average is threaded by the caller via mutable collections
-        return lambda: nn.BatchNorm(use_running_average=True, dtype=dtype)
-    raise ValueError(f"unknown norm kind: {kind}")
+    def __call__(self, x, train: bool = False):
+        if self.kind == "group":
+            c = x.shape[-1]
+            g = max(d for d in range(1, min(self.max_groups, c) + 1)
+                    if c % d == 0)
+            return nn.GroupNorm(num_groups=g, dtype=self.dtype)(x)
+        if self.kind == "batch":
+            return nn.BatchNorm(use_running_average=not train,
+                                dtype=self.dtype)(x)
+        raise ValueError(f"unknown norm kind: {self.kind}")
 
 
 class ConvBlock(nn.Module):
@@ -44,11 +46,11 @@ class ConvBlock(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, train: bool = False):
         x = nn.Conv(self.features, (self.kernel, self.kernel),
                     strides=(self.stride, self.stride), padding="SAME",
                     use_bias=False, dtype=self.dtype)(x)
-        x = norm_layer(self.norm, self.dtype)()(x)
+        x = Norm(self.norm, dtype=self.dtype)(x, train)
         return nn.relu(x)
 
 
@@ -61,17 +63,18 @@ class Residual(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, train: bool = False):
         skip = x
-        y = ConvBlock(self.features, 3, self.stride, self.norm, self.dtype)(x)
+        y = ConvBlock(self.features, 3, self.stride, self.norm,
+                      self.dtype)(x, train)
         y = nn.Conv(self.features, (3, 3), padding="SAME", use_bias=False,
                     dtype=self.dtype)(y)
-        y = norm_layer(self.norm, self.dtype)()(y)
+        y = Norm(self.norm, dtype=self.dtype)(y, train)
         if skip.shape[-1] != self.features or self.stride != 1:
             skip = nn.Conv(self.features, (1, 1),
                            strides=(self.stride, self.stride),
                            use_bias=False, dtype=self.dtype)(skip)
-            skip = norm_layer(self.norm, self.dtype)()(skip)
+            skip = Norm(self.norm, dtype=self.dtype)(skip, train)
         return nn.relu(y + skip)
 
 

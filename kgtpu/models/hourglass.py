@@ -24,16 +24,17 @@ class HourglassModule(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
-        up1 = Residual(self.features, norm=self.norm, dtype=self.dtype)(x)
+    def __call__(self, x, train: bool = False):
+        up1 = Residual(self.features, norm=self.norm, dtype=self.dtype)(x, train)
         low = nn.max_pool(x, (2, 2), strides=(2, 2))
-        low = Residual(self.features, norm=self.norm, dtype=self.dtype)(low)
+        low = Residual(self.features, norm=self.norm, dtype=self.dtype)(low, train)
         if self.depth > 1:
             low = HourglassModule(self.depth - 1, self.features, self.norm,
-                                  self.dtype)(low)
+                                  self.dtype)(low, train)
         else:
-            low = Residual(self.features, norm=self.norm, dtype=self.dtype)(low)
-        low = Residual(self.features, norm=self.norm, dtype=self.dtype)(low)
+            low = Residual(self.features, norm=self.norm,
+                           dtype=self.dtype)(low, train)
+        low = Residual(self.features, norm=self.norm, dtype=self.dtype)(low, train)
         return up1 + upsample2x(low)
 
 
@@ -50,17 +51,18 @@ class HourglassBackbone(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, train: bool = False):
         x = ConvBlock(self.features // 2, kernel=7, stride=2, norm=self.norm,
-                      dtype=self.dtype)(x)
-        x = Residual(self.features, stride=2, norm=self.norm, dtype=self.dtype)(x)
+                      dtype=self.dtype)(x, train)
+        x = Residual(self.features, stride=2, norm=self.norm,
+                     dtype=self.dtype)(x, train)
 
         outs = []
         for i in range(self.num_stacks):
             hg = HourglassModule(self.depth, self.features, self.norm,
-                                 self.dtype)(x)
+                                 self.dtype)(x, train)
             feat = ConvBlock(self.features, 3, norm=self.norm,
-                             dtype=self.dtype)(hg)
+                             dtype=self.dtype)(hg, train)
             outs.append(feat)
             if i < self.num_stacks - 1:
                 # inter-stack fusion: project both and re-enter

@@ -57,10 +57,10 @@ class KGNet(nn.Module):
         self.mask_head = MaskHead(
             channels=self.cfg.mask_channels, norm=self.cfg.norm, dtype=dtype)
 
-    def __call__(self, images: jnp.ndarray) -> dict:
+    def __call__(self, images: jnp.ndarray, train: bool = False) -> dict:
         """images [B, H, W, 3] → {"stacks": [...], "feat": [B, H/4, W/4, F]}."""
         dtype = jnp.dtype(self.cfg.compute_dtype)
-        feats = self.backbone(images.astype(dtype))
+        feats = self.backbone(images.astype(dtype), train)
         stacks = [
             {k: v.astype(jnp.float32) for k, v in head(f).items()}
             for head, f in zip(self.heads, feats)
@@ -76,12 +76,21 @@ class KGNet(nn.Module):
         _ = self.mask_logits(out["feat"][0], dummy_boxes)
         return out
 
-    def mask_logits(self, feat: jnp.ndarray, boxes: jnp.ndarray) -> jnp.ndarray:
+    def apply_mask_head(self, crops: jnp.ndarray, train: bool = False
+                        ) -> jnp.ndarray:
+        """Run the mask head on pre-cropped features [D, R, R, F] → [D, m, m].
+        (Train path: one flat apply so BatchNorm's mutable stats are not
+        vmapped per image.)"""
+        dtype = jnp.dtype(self.cfg.compute_dtype)
+        return self.mask_head(crops.astype(dtype), train).astype(jnp.float32)
+
+    def mask_logits(self, feat: jnp.ndarray, boxes: jnp.ndarray,
+                    train: bool = False) -> jnp.ndarray:
         """feat [H/4, W/4, F] (single image), boxes [D, 4] in *feature* (i.e.
         output-stride) coordinates → mask logits [D, mask_size, mask_size]."""
         crops = crop_and_resize(feat, boxes, self.cfg.roi_size)
         dtype = jnp.dtype(self.cfg.compute_dtype)
-        return self.mask_head(crops.astype(dtype)).astype(jnp.float32)
+        return self.mask_head(crops.astype(dtype), train).astype(jnp.float32)
 
 
 def build_model(cfg: ModelConfig) -> KGNet:

@@ -26,11 +26,12 @@ class MaskHead(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, crops):
+    def __call__(self, crops, train: bool = False):
         """crops: [D, R, R, F] → mask logits [D, 2R, 2R]."""
         x = crops
         for _ in range(self.num_convs):
-            x = ConvBlock(self.channels, 3, norm=self.norm, dtype=self.dtype)(x)
+            x = ConvBlock(self.channels, 3, norm=self.norm,
+                          dtype=self.dtype)(x, train)
         x = nn.ConvTranspose(self.channels, (2, 2), strides=(2, 2),
                              dtype=self.dtype)(x)
         x = nn.relu(x)

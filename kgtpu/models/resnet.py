@@ -20,11 +20,11 @@ class ResNetFPN(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, train: bool = False):
         x = ConvBlock(self.features // 2, kernel=7, stride=2, norm=self.norm,
-                      dtype=self.dtype)(x)
+                      dtype=self.dtype)(x, train)
         x = Residual(self.features // 2, stride=2, norm=self.norm,
-                     dtype=self.dtype)(x)
+                     dtype=self.dtype)(x, train)
 
         # bottom-up: stride 4, 8, 16, 32
         feats = []
@@ -32,9 +32,9 @@ class ResNetFPN(nn.Module):
         for si, nblocks in enumerate(self.stage_blocks):
             stride = 1 if si == 0 else 2
             x = Residual(width, stride=stride, norm=self.norm,
-                         dtype=self.dtype)(x)
+                         dtype=self.dtype)(x, train)
             for _ in range(nblocks - 1):
-                x = Residual(width, norm=self.norm, dtype=self.dtype)(x)
+                x = Residual(width, norm=self.norm, dtype=self.dtype)(x, train)
             feats.append(x)
             width = min(width * 2, self.features * 4)
 
@@ -43,5 +43,6 @@ class ResNetFPN(nn.Module):
         for f in reversed(feats[:-1]):
             lateral = nn.Conv(self.features, (1, 1), dtype=self.dtype)(f)
             p = lateral + upsample2x(p)
-            p = ConvBlock(self.features, 3, norm=self.norm, dtype=self.dtype)(p)
+            p = ConvBlock(self.features, 3, norm=self.norm,
+                          dtype=self.dtype)(p, train)
         return [p]

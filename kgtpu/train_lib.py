@@ -31,7 +31,10 @@ from kgtpu.parallel import batch_sharding, replicated
 
 
 class TrainState(train_state.TrainState):
-    """flax TrainState; `apply_fn` is the KGNet forward."""
+    """flax TrainState extended with BatchNorm stats and optional EMA params."""
+
+    batch_stats: Any = None
+    ema_params: Any = None
 
 
 def make_optimizer(cfg: Config) -> optax.GradientTransformation:
@@ -53,8 +56,11 @@ def create_train_state(cfg: Config, rng: jax.Array) -> TrainState:
     h = w = cfg.data.input_size
     dummy = jnp.zeros((1, h, w, 3), jnp.float32)
     variables = model.init(rng, dummy, method=KGNet.init_all)
+    ema = (jax.tree.map(jnp.copy, variables["params"])
+           if cfg.train.ema_decay > 0 else None)
     return TrainState.create(
         apply_fn=model.apply, params=variables["params"],
+        batch_stats=variables.get("batch_stats"), ema_params=ema,
         tx=make_optimizer(cfg))
 
 
@@ -73,8 +79,8 @@ def _jitter_boxes(boxes: jnp.ndarray, valid: jnp.ndarray, rng: jax.Array,
     return jnp.stack([x0, y0, out[..., 2], out[..., 3]], axis=-1)
 
 
-def loss_fn(params, batch: dict, rng: jax.Array, model: KGNet, cfg: Config
-            ) -> tuple[jnp.ndarray, dict]:
+def loss_fn(params, batch: dict, rng: jax.Array, model: KGNet, cfg: Config,
+            batch_stats=None) -> tuple[jnp.ndarray, dict]:
     s = cfg.data.stride
     tcfg = cfg.train
     images = batch["image"]
@@ -88,9 +94,20 @@ def loss_fn(params, batch: dict, rng: jax.Array, model: KGNet, cfg: Config
     sizes = jnp.stack([boxes_st[..., 3] - boxes_st[..., 1],
                        boxes_st[..., 2] - boxes_st[..., 0]], axis=-1)
 
-    hm_t = targets_ops.render_heatmaps_batch(kpts, sizes, valid, hs, ws)
+    hm_t = jax.lax.stop_gradient(
+        targets_ops.render_heatmaps_batch(kpts, sizes, valid, hs, ws))
 
-    out = model.apply({"params": params}, images)
+    use_bn = batch_stats is not None
+    variables = {"params": params}
+    if use_bn:
+        variables["batch_stats"] = batch_stats
+    if use_bn:
+        out, mut = model.apply(variables, images, True,
+                               mutable=["batch_stats"])
+        new_stats = mut["batch_stats"]
+    else:
+        out = model.apply(variables, images, True)
+        new_stats = None
     stacks = out["stacks"]
 
     # --- keypoint losses, averaged over stacks (intermediate supervision) --
@@ -115,14 +132,26 @@ def loss_fn(params, batch: dict, rng: jax.Array, model: KGNet, cfg: Config
     roi_boxes_px = _jitter_boxes(boxes_px[:, :r], valid[:, :r], rng,
                                  tcfg.roi_jitter)
     roi_valid = valid[:, :r]
-
-    def per_image_masks(feat, rb_px):
-        return model.apply({"params": params}, feat, rb_px / s,
-                           method=KGNet.mask_logits)    # [R, m, m]
-
-    mask_logits = jax.vmap(per_image_masks)(out["feat"], roi_boxes_px)
-
     m = cfg.model.mask_size
+    rs = cfg.model.roi_size
+
+    # crops are pure; one flat mask-head apply keeps BatchNorm stats unvmapped
+    crops = jax.vmap(
+        lambda f, bx: crop_and_resize(f, bx / s, rs)
+    )(out["feat"], roi_boxes_px)                     # [B, R, rs, rs, F]
+    flat_crops = crops.reshape((b * r,) + crops.shape[2:])
+    if use_bn:
+        flat_logits, mut2 = model.apply(
+            variables, flat_crops, True, method=KGNet.apply_mask_head,
+            mutable=["batch_stats"])
+        # merge: the mask-head subtree comes from the second apply
+        new_stats = {**new_stats, **{k: v for k, v in
+                                     mut2["batch_stats"].items()
+                                     if k == "mask_head"}}
+    else:
+        flat_logits = model.apply(variables, flat_crops, True,
+                                  method=KGNet.apply_mask_head)
+    mask_logits = flat_logits.reshape(b, r, m, m)
 
     def per_image_gt(label_map, rb_px):
         crops = crop_and_resize(label_map[..., None].astype(jnp.float32),
@@ -136,7 +165,7 @@ def loss_fn(params, batch: dict, rng: jax.Array, model: KGNet, cfg: Config
     total = total + tcfg.w_mask * l_mask
     metrics["loss_mask"] = l_mask
     metrics["loss"] = total
-    return total, metrics
+    return total, (metrics, new_stats)
 
 
 def make_train_step(model: KGNet, cfg: Config, mesh=None) -> Callable:
@@ -148,8 +177,16 @@ def make_train_step(model: KGNet, cfg: Config, mesh=None) -> Callable:
 
     def step(state: TrainState, batch: dict, rng: jax.Array):
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
-        (_, metrics), grads = grad_fn(state.params, batch, rng, model, cfg)
+        (_, (metrics, new_stats)), grads = grad_fn(
+            state.params, batch, rng, model, cfg, state.batch_stats)
         new_state = state.apply_gradients(grads=grads)
+        if new_stats is not None:
+            new_state = new_state.replace(batch_stats=new_stats)
+        if state.ema_params is not None:
+            d = cfg.train.ema_decay
+            new_state = new_state.replace(ema_params=jax.tree.map(
+                lambda e, p: e * d + p * (1.0 - d),
+                state.ema_params, new_state.params))
         metrics["grad_norm"] = optax.global_norm(grads)
         return new_state, metrics
 

@@ -44,8 +44,11 @@ def main() -> None:
     from kgtpu.models import KGNet
 
     if cfg.infer.weights:
-        params = checkpoint.restore_params(cfg.infer.weights)
-        log.info("loaded weights from %s", cfg.infer.weights)
+        params = checkpoint.restore_params(cfg.infer.weights,
+                                           use_ema=getattr(args, "use_ema",
+                                                           False))
+        log.info("loaded weights from %s%s", cfg.infer.weights,
+                 " (EMA)" if getattr(args, "use_ema", False) else "")
     else:
         log.warning("no --weights given: running with random init")
         params = train_lib.create_train_state(cfg, jax.random.PRNGKey(0)).params

@@ -23,7 +23,9 @@ import jax  # noqa: E402
 
 # The axon sitecustomize pins jax_platforms programmatically, so the env var
 # alone is not enough — force the CPU backend through the config API too.
-jax.config.update("jax_platforms", "cpu")
+# KGTPU_TEST_TPU=1 keeps the real TPU for @pytest.mark.tpu runs.
+if os.environ.get("KGTPU_TEST_TPU") != "1":
+    jax.config.update("jax_platforms", "cpu")
 
 import pytest  # noqa: E402
 
