@@ -1,0 +1,6 @@
+"""Auxiliary subsystems: tracing/profiling + numerics debugging.  [SURVEY.md §5]"""
+
+from kgtpu.utils.profiling import cost_analysis, trace
+from kgtpu.utils.debug import enable_nan_debugging, checked
+
+__all__ = ["cost_analysis", "trace", "enable_nan_debugging", "checked"]
