@@ -212,6 +212,8 @@ def build_test_parser() -> argparse.ArgumentParser:
     p.add_argument("--weights", default="", help="checkpoint file/dir to load")
     p.add_argument("--use_ema", action="store_true",
                    help="load EMA params from the checkpoint when present")
+    p.add_argument("--batch_size", type=int, default=8,
+                   help="inference batch (single-scale path)")
     p.add_argument("--test_scales", default="1.0",
                    help="comma-separated TTA scales, e.g. 0.75,1.0,1.25")
     p.add_argument("--save_dir", default="results")
@@ -265,5 +267,6 @@ def config_from_test_args(a: argparse.Namespace) -> Config:
         infer=dataclasses.replace(c.infer, weights=a.weights, test_scales=scales,
                                   input_size=a.input_size, save_dir=a.save_dir,
                                   tile_size=a.tile_size,
-                                  tile_overlap=a.tile_overlap),
+                                  tile_overlap=a.tile_overlap,
+                                  batch_size=a.batch_size),
     )

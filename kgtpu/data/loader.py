@@ -10,9 +10,8 @@ cv2-bound workload.
 
 from __future__ import annotations
 
-import queue
-import threading
-from queue import Empty as _QueueEmpty
+import collections
+import concurrent.futures
 from typing import Iterator
 
 import numpy as np
@@ -53,10 +52,14 @@ def make_batch(dataset, indices, cfg: DataConfig, augment: bool,
 
 def batch_iterator(dataset, cfg: DataConfig, batch_size: int, *,
                    augment: bool = True, shuffle: bool = True, seed: int = 0,
-                   steps: int | None = None, prefetch: int = 2,
-                   ) -> Iterator[Batch]:
-    """Infinite (or `steps`-bounded) iterator of fixed-shape batches, with a
-    background thread doing the cv2 work."""
+                   steps: int | None = None, prefetch: int = 8,
+                   num_workers: int = 4) -> Iterator[Batch]:
+    """Infinite (or `steps`-bounded) iterator of fixed-shape batches.
+
+    cv2/NumPy work runs on a thread pool (cv2 releases the GIL), with
+    in-order emission and *per-batch* RNG derived from (seed, batch index) —
+    results are deterministic regardless of worker count or scheduling.
+    """
     rng = np.random.default_rng(seed)
     n = len(dataset)
 
@@ -67,32 +70,25 @@ def batch_iterator(dataset, cfg: DataConfig, batch_size: int, *,
                 yield order[i:i + batch_size]
 
     stream = index_stream()
-    total = steps if steps is not None else None
-    q: queue.Queue = queue.Queue(maxsize=prefetch)
-    stop = threading.Event()
 
-    def worker():
-        produced = 0
-        wrng = np.random.default_rng(seed + 1)
-        while not stop.is_set() and (total is None or produced < total):
-            idx = next(stream)
-            q.put(make_batch(dataset, idx, cfg, augment, wrng))
-            produced += 1
-        q.put(None)
+    def build(batch_idx: int, indices) -> Batch:
+        brng = np.random.default_rng((seed + 1) * 1_000_003 + batch_idx)
+        return make_batch(dataset, indices, cfg, augment, brng)
 
-    t = threading.Thread(target=worker, daemon=True)
-    t.start()
+    ex = concurrent.futures.ThreadPoolExecutor(max_workers=num_workers)
+    pending: collections.deque = collections.deque()
     try:
-        while True:
-            b = q.get()
-            if b is None:
+        bi = 0
+        while steps is None or bi < steps:
+            while len(pending) < prefetch and (steps is None or bi < steps):
+                pending.append(ex.submit(build, bi, next(stream)))
+                bi += 1
+            if not pending:
                 return
-            yield b
+            yield pending.popleft().result()
+        while pending:
+            yield pending.popleft().result()
     finally:
-        stop.set()
-        # drain so the worker's blocked put() can exit
-        try:
-            while True:
-                q.get_nowait()
-        except _QueueEmpty:
-            pass
+        for f in pending:
+            f.cancel()
+        ex.shutdown(wait=False, cancel_futures=True)

@@ -22,11 +22,14 @@ class SyntheticCells:
         self.min_cells = min_cells
         self.max_cells = max_cells
         self.seed = seed
+        self._cache: dict[int, dict] = {}
 
     def __len__(self) -> int:
         return self.num_images
 
     def __getitem__(self, idx: int) -> dict:
+        if idx in self._cache:   # deterministic per index → memoize
+            return self._cache[idx]
         rng = np.random.default_rng(self.seed * 100_003 + idx)
         s = self.size
         img = rng.normal(90, 12, (s, s, 3)).clip(0, 255).astype(np.uint8)
@@ -56,4 +59,6 @@ class SyntheticCells:
                 0, 255).astype(np.uint8)
 
         img = cv2.GaussianBlur(img, (3, 3), 0)
-        return {"image": img, "label_map": label, "id": f"synthetic_{idx:05d}"}
+        out = {"image": img, "label_map": label, "id": f"synthetic_{idx:05d}"}
+        self._cache[idx] = out
+        return out

@@ -65,34 +65,7 @@ def main() -> None:
     if getattr(args, "profile_dir", ""):
         jax.profiler.start_trace(args.profile_dir)
 
-    summary = []
-    t0 = time.time()
-    for i in range(len(ds)):
-        raw = ds[i]
-        iid = raw.get("id", f"img_{i:05d}")
-        if multiscale:
-            imgs = {}
-            for sc in scales:
-                side = int(round(base * sc))
-                s = _prepare_sample(
-                    {**raw, "label_map": raw["label_map"]},
-                    cfg.data.__class__(**{**cfg.data.__dict__,
-                                          "input_size": side}),
-                    augment=False, rng=rng)
-                imgs[f"{sc:g}"] = s["image"]
-            out = infer(params, imgs)
-            label = np.asarray(out["label_map"])
-            boxes = np.asarray(out["boxes"])
-            dscores = np.asarray(out["scores"])
-            dvalid = np.asarray(out["valid"])
-        else:
-            s = _prepare_sample(raw, cfg.data, augment=False, rng=rng)
-            out = infer(params, s["image"][None])
-            label = np.asarray(out["label_map"][0])
-            boxes = np.asarray(out["boxes"][0])
-            dscores = np.asarray(out["scores"][0])
-            dvalid = np.asarray(out["valid"][0])
-
+    def write_result(iid, label, boxes, dscores, dvalid):
         cv2.imwrite(os.path.join(cfg.infer.save_dir, f"{iid}_label.png"),
                     label.astype(np.uint16))
         rec = {
@@ -103,10 +76,52 @@ def main() -> None:
         }
         with open(os.path.join(cfg.infer.save_dir, f"{iid}.json"), "w") as f:
             json.dump(rec, f)
-        summary.append(rec)
-        if i % 10 == 0:
-            log.info("%d/%d (%.2f img/s)", i + 1, len(ds),
-                     (i + 1) / max(time.time() - t0, 1e-6))
+        return rec
+
+    summary = []
+    t0 = time.time()
+    if multiscale:
+        for i in range(len(ds)):
+            raw = ds[i]
+            iid = raw.get("id", f"img_{i:05d}")
+            imgs = {}
+            for sc in scales:
+                side = int(round(base * sc))
+                s = _prepare_sample(
+                    {**raw, "label_map": raw["label_map"]},
+                    cfg.data.__class__(**{**cfg.data.__dict__,
+                                          "input_size": side}),
+                    augment=False, rng=rng)
+                imgs[f"{sc:g}"] = s["image"]
+            out = infer(params, imgs)
+            summary.append(write_result(
+                iid, np.asarray(out["label_map"]), np.asarray(out["boxes"]),
+                np.asarray(out["scores"]), np.asarray(out["valid"])))
+            if i % 10 == 0:
+                log.info("%d/%d (%.2f img/s)", i + 1, len(ds),
+                         (i + 1) / max(time.time() - t0, 1e-6))
+    else:
+        # batched single-scale path: fixed batch, last chunk padded
+        bs = max(cfg.infer.batch_size, 1)
+        done = 0
+        for start in range(0, len(ds), bs):
+            idxs = list(range(start, min(start + bs, len(ds))))
+            samples = [
+                _prepare_sample(ds[i], cfg.data, augment=False, rng=rng)
+                for i in idxs]
+            imgs = np.stack([s["image"] for s in samples]
+                            + [samples[-1]["image"]] * (bs - len(samples)))
+            out = infer(params, imgs)
+            for k, i in enumerate(idxs):
+                iid = ds[i].get("id", f"img_{i:05d}")
+                summary.append(write_result(
+                    iid, np.asarray(out["label_map"][k]),
+                    np.asarray(out["boxes"][k]),
+                    np.asarray(out["scores"][k]),
+                    np.asarray(out["valid"][k])))
+            done += len(idxs)
+            log.info("%d/%d (%.2f img/s)", done, len(ds),
+                     done / max(time.time() - t0, 1e-6))
 
     if getattr(args, "profile_dir", ""):
         jax.profiler.stop_trace()
