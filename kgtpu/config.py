@@ -77,6 +77,8 @@ class GroupConfig:
     keypoint graphs.  All thresholds live here so parity tuning is config-only.
     """
 
+    method: str = "kg"                 # "kg" (keypoint graph) | "centernet"
+                                       #   (center + wh head, needs use_wh_head)
     max_peaks_per_class: int = 128     # K: per-class top-k kept by the decoder
     max_detections: int = 128          # D: boxes kept after grouping + NMS
     kp_score_thresh: float = 0.1       # min peak score to participate in a pair
@@ -180,6 +182,9 @@ def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--num_stacks", type=int, default=2)
     p.add_argument("--norm", default="group", choices=["group", "batch"],
                    help="backbone normalization (batch = reference-style BN)")
+    p.add_argument("--decode", default="kg", choices=["kg", "centernet"],
+                   help="box assembly: keypoint-graph (reference) or "
+                        "center+wh (enables the size head)")
     p.add_argument("--K", dest="max_peaks", type=int, default=128,
                    help="per-class top-k peaks kept by the decoder")
     p.add_argument("--max_detections", type=int, default=128)
@@ -214,6 +219,8 @@ def build_test_parser() -> argparse.ArgumentParser:
                    help="load EMA params from the checkpoint when present")
     p.add_argument("--batch_size", type=int, default=8,
                    help="inference batch (single-scale path)")
+    p.add_argument("--save_vis", action="store_true",
+                   help="also write <id>_vis.png overlays (boxes + masks)")
     p.add_argument("--test_scales", default="1.0",
                    help="comma-separated TTA scales, e.g. 0.75,1.0,1.25")
     p.add_argument("--save_dir", default="results")
@@ -236,10 +243,12 @@ def config_from_train_args(a: argparse.Namespace) -> Config:
     c = Config()
     return Config(
         model=dataclasses.replace(c.model, backbone=a.backbone,
-                                  num_stacks=a.num_stacks, norm=a.norm),
+                                  num_stacks=a.num_stacks, norm=a.norm,
+                                  use_wh_head=(a.decode == "centernet")),
         data=dataclasses.replace(c.data, dataset=a.dataset, data_dir=a.data_dir,
                                  input_size=a.input_size),
-        group=dataclasses.replace(c.group, max_peaks_per_class=a.max_peaks,
+        group=dataclasses.replace(c.group, method=a.decode,
+                                  max_peaks_per_class=a.max_peaks,
                                   max_detections=a.max_detections,
                                   score_thresh=a.conf_thresh, nms_iou=a.nms_iou),
         train=dataclasses.replace(c.train, batch_size=a.batch_size, lr=a.lr,
@@ -257,10 +266,12 @@ def config_from_test_args(a: argparse.Namespace) -> Config:
     scales = tuple(float(s) for s in str(a.test_scales).split(",") if s)
     return Config(
         model=dataclasses.replace(c.model, backbone=a.backbone,
-                                  num_stacks=a.num_stacks, norm=a.norm),
+                                  num_stacks=a.num_stacks, norm=a.norm,
+                                  use_wh_head=(a.decode == "centernet")),
         data=dataclasses.replace(c.data, dataset=a.dataset, data_dir=a.data_dir,
                                  input_size=a.input_size),
-        group=dataclasses.replace(c.group, max_peaks_per_class=a.max_peaks,
+        group=dataclasses.replace(c.group, method=a.decode,
+                                  max_peaks_per_class=a.max_peaks,
                                   max_detections=a.max_detections,
                                   score_thresh=a.conf_thresh, nms_iou=a.nms_iou),
         train=c.train,

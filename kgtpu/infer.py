@@ -30,7 +30,7 @@ import numpy as np
 
 from kgtpu.config import Config
 from kgtpu.models import KGNet
-from kgtpu.ops.decode import decode_peaks
+from kgtpu.ops.decode import decode_center_wh, decode_peaks
 from kgtpu.ops.group import Boxes, group_keypoints
 from kgtpu.ops.nms import box_nms, merge_scales
 from kgtpu.ops.roi import paste_masks
@@ -52,12 +52,24 @@ def _vars(params) -> dict:
 
 def _detect_single(model: KGNet, cfg: Config, params, image: jnp.ndarray
                    ) -> tuple[Boxes, jnp.ndarray]:
-    """image [H, W, 3] → (detections in stride coords, stride-4 features)."""
+    """image [H, W, 3] → (detections in stride coords, stride-4 features).
+
+    Box assembly follows cfg.group.method: "kg" = keypoint-graph grouping
+    (the reference's pipeline), "centernet" = center peaks + wh head.
+    """
     out = model.apply(_vars(params), image[None])
     last = out["stacks"][-1]
-    peaks = decode_peaks(last["hm"][0], last["reg"][0],
-                         cfg.group.max_peaks_per_class)
-    cand = group_keypoints(peaks, cfg.group)
+    if cfg.group.method == "centernet":
+        if "wh" not in last:
+            raise ValueError(
+                'group.method="centernet" needs model.use_wh_head=True')
+        cand = decode_center_wh(
+            last["hm"][0], last["reg"][0], last["wh"][0],
+            cfg.group.max_detections, cfg.group.score_thresh)
+    else:
+        peaks = decode_peaks(last["hm"][0], last["reg"][0],
+                             cfg.group.max_peaks_per_class)
+        cand = group_keypoints(peaks, cfg.group)
     dets = box_nms(cand, cfg.group.nms_iou)
     return dets, out["feat"][0]
 
@@ -141,16 +153,20 @@ def build_multiscale_fn(model: KGNet, cfg: Config) -> Callable:
 
 
 def build_tiled_infer_fn(model: KGNet, cfg: Config,
-                         image_hw: tuple[int, int], mesh=None) -> Callable:
+                         image_hw: tuple[int, int], mesh=None,
+                         tile_batch: int = 8) -> Callable:
     """Whole-slide inference: ONE jitted call per slide.  [BASELINE config 5]
 
-    Static tile grid → batched detector over tiles → per-tile ownership
-    filter (cross-tile dedup without global NMS) → per-tile mask stage and
-    local paste with globally-unique ids → on-device stitch.
+    Static tile grid → detector over tiles, `tile_batch` at a time under a
+    `lax.scan` (compile cost is constant in slide size — the fully-vmapped
+    25-tile 2048² program blew past a 9-minute remote compile; the scanned
+    form traces the per-chunk pipeline once) → per-tile ownership filter
+    (cross-tile dedup without global NMS) → per-tile mask stage and local
+    paste with globally-unique ids → on-device stitch.
 
-    With `mesh`, the tile axis is sharding-constrained onto the "data" axis,
-    so tiles fan out over chips and the stitch's gathers ride XLA collectives
-    — the spatial-DP layout of SURVEY.md §2.10.
+    With `mesh`, the chunk's tile axis is sharding-constrained onto the
+    "data" axis, so tiles fan out over chips — the spatial-DP layout of
+    SURVEY.md §2.10 (pick tile_batch = a multiple of the mesh size).
     """
     h, w = image_hw
     ts, ov = cfg.infer.tile_size, cfg.infer.tile_overlap
@@ -158,43 +174,70 @@ def build_tiled_infer_fn(model: KGNet, cfg: Config,
     d = cfg.group.max_detections
     origins_np = tile_grid(h, w, ts, ov)
     n_tiles = len(origins_np)
+    pad = (-n_tiles) % tile_batch
+    # padding tiles reuse origin 0 and are masked out via a validity flag
+    origins_pad = np.concatenate(
+        [origins_np, np.zeros((pad, 2), np.int32)], axis=0)
+    tile_ok_np = np.concatenate(
+        [np.ones(n_tiles, bool), np.zeros(pad, bool)])
+    n_chunks = (n_tiles + pad) // tile_batch
 
     def infer_tiled(params, image):
-        origins = jnp.asarray(origins_np)
-        tiles = extract_tiles(image, origins, ts)          # [T, ts, ts, 3]
-        if mesh is not None:
-            from jax.sharding import NamedSharding, PartitionSpec
-            tiles = jax.lax.with_sharding_constraint(
-                tiles, NamedSharding(mesh, PartitionSpec("data")))
-        out = model.apply(_vars(params), tiles)
-        last = out["stacks"][-1]
+        origins = jnp.asarray(origins_pad)
+        tile_ok = jnp.asarray(tile_ok_np)
+        tile_ids = jnp.arange(n_tiles + pad, dtype=jnp.int32)
 
-        def per_tile(hm, reg, feat, origin, tile_idx):
-            peaks = decode_peaks(hm, reg, cfg.group.max_peaks_per_class)
-            dets = box_nms(group_keypoints(peaks, cfg.group),
-                           cfg.group.nms_iou)
-            dets_px = Boxes(boxes=dets.boxes * s, scores=dets.scores,
-                            valid=dets.valid)
-            own = ownership_mask(dets_px, origin, ts, ov, h, w)
-            logits = model.apply(_vars(params), feat, dets.boxes,
-                                 method=KGNet.mask_logits)
-            probs = jax.nn.sigmoid(logits)
-            label, score = paste_masks(
-                probs, dets_px.boxes, dets.scores, own, ts, ts,
-                thresh=cfg.group.mask_thresh, id_base=tile_idx * d)
-            gboxes = dets_px.boxes + jnp.asarray(
-                [origin[1], origin[0], origin[1], origin[0]], jnp.float32)
-            return label, score, gboxes, dets.scores, own
+        def chunk_body(_, inp):
+            org, ok, tid = inp                      # [TB, 2], [TB], [TB]
+            tiles = extract_tiles(image, org, ts)   # [TB, ts, ts, 3]
+            if mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec
+                tiles = jax.lax.with_sharding_constraint(
+                    tiles, NamedSharding(mesh, PartitionSpec("data")))
+            out = model.apply(_vars(params), tiles)
+            last = out["stacks"][-1]
 
-        labels, scores_map, gboxes, gscores, gvalid = jax.vmap(per_tile)(
-            last["hm"], last["reg"], out["feat"], origins,
-            jnp.arange(n_tiles, dtype=jnp.int32))
-        g_label, g_score = stitch_tiles(labels, scores_map, origins, h, w)
+            def per_tile(hm, reg, wh, feat, origin, t_ok, tile_idx):
+                if cfg.group.method == "centernet":
+                    cand = decode_center_wh(
+                        hm, reg, wh, cfg.group.max_detections,
+                        cfg.group.score_thresh)
+                else:
+                    peaks = decode_peaks(hm, reg,
+                                         cfg.group.max_peaks_per_class)
+                    cand = group_keypoints(peaks, cfg.group)
+                dets = box_nms(cand, cfg.group.nms_iou)
+                dets_px = Boxes(boxes=dets.boxes * s, scores=dets.scores,
+                                valid=dets.valid)
+                own = ownership_mask(dets_px, origin, ts, ov, h, w) & t_ok
+                logits = model.apply(_vars(params), feat, dets.boxes,
+                                     method=KGNet.mask_logits)
+                probs = jax.nn.sigmoid(logits)
+                label, score = paste_masks(
+                    probs, dets_px.boxes, dets.scores, own, ts, ts,
+                    thresh=cfg.group.mask_thresh, id_base=tile_idx * d)
+                gboxes = dets_px.boxes + jnp.asarray(
+                    [origin[1], origin[0], origin[1], origin[0]], jnp.float32)
+                return label, score, gboxes, dets.scores, own
+
+            wh = last.get("wh", jnp.zeros_like(last["reg"]))
+            return None, jax.vmap(per_tile)(
+                last["hm"], last["reg"], wh, out["feat"], org, ok, tid)
+
+        xs = (origins.reshape(n_chunks, tile_batch, 2),
+              tile_ok.reshape(n_chunks, tile_batch),
+              tile_ids.reshape(n_chunks, tile_batch))
+        _, (labels, scores_map, gboxes, gscores, gvalid) = jax.lax.scan(
+            chunk_body, None, xs)
+
+        flat = lambda a: a.reshape((-1,) + a.shape[2:])[:n_tiles]
+        g_label, g_score = stitch_tiles(
+            flat(labels), flat(scores_map), jnp.asarray(origins_np), h, w)
         return {
             "label_map": g_label, "score_map": g_score,
-            "boxes": gboxes.reshape(-1, 4),
-            "scores": gscores.reshape(-1),
-            "valid": gvalid.reshape(-1),
+            "boxes": flat(gboxes).reshape(n_tiles * d, 4),
+            "scores": flat(gscores).reshape(n_tiles * d),
+            "valid": flat(gvalid).reshape(n_tiles * d),
         }
 
     return jax.jit(infer_tiled)

@@ -83,6 +83,50 @@ def decode_peaks(
     return Peaks(scores=scores, coords=coords, indices=idx)
 
 
+def decode_center_wh(
+    hm: jnp.ndarray,
+    reg: jnp.ndarray | None,
+    wh: jnp.ndarray,
+    k: int,
+    score_thresh: float = 0.0,
+    apply_sigmoid: bool = True,
+    nms_window: int = 3,
+):
+    """CenterNet-style decode: center peaks + regressed (w, h) → boxes.
+
+    The alternative assembly mode (`GroupConfig.method = "centernet"`) using
+    the optional size head (OPEN-2): no keypoint graph — each center peak
+    becomes a box directly.  Faster and simpler than keypoint-graph grouping
+    but without its robustness to center ambiguity on touching cells.
+
+    Args:
+      hm: [H, W, C] heatmap logits; the LAST channel is the center class
+        (KP_CENTER) — other channels are ignored here.
+      reg: [H, W, 2] sub-pixel offsets or None.
+      wh: [H, W, 2] size head output (w, h) in stride units.
+      k: peaks kept (= box count of the fixed-shape output).
+
+    Returns:
+      ops.group.Boxes-compatible tuple fields: boxes [K, 4] (stride coords),
+      scores [K], valid [K].
+    """
+    from kgtpu.ops.group import Boxes  # local import to avoid a cycle
+
+    h, w, c = hm.shape
+    center = hm[..., c - 1:c]
+    peaks = decode_peaks(center, reg, k, apply_sigmoid, nms_window)
+    sc = peaks.scores[0]                                   # [K]
+    xy = peaks.coords[0]                                   # [K, 2]
+    wh_flat = wh.reshape(h * w, 2).astype(jnp.float32)
+    size = jnp.take(wh_flat, peaks.indices[0].reshape(-1), axis=0)  # [K, 2]
+    half = jnp.maximum(size, 0.0) * 0.5
+    boxes = jnp.stack(
+        [xy[:, 0] - half[:, 0], xy[:, 1] - half[:, 1],
+         xy[:, 0] + half[:, 0], xy[:, 1] + half[:, 1]], axis=-1)
+    valid = sc > score_thresh
+    return Boxes(boxes=boxes, scores=jnp.where(valid, sc, 0.0), valid=valid)
+
+
 def decode_peaks_batch(
     hm: jnp.ndarray, reg: jnp.ndarray | None, k: int,
     apply_sigmoid: bool = True, nms_window: int = 3,

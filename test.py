@@ -47,6 +47,23 @@ def main() -> None:
         params = checkpoint.restore_params(cfg.infer.weights,
                                            use_ema=getattr(args, "use_ema",
                                                            False))
+        # fail fast + clearly on structure mismatch (wrong --backbone/--norm
+        # flags for this checkpoint, or a checkpoint from an older layout)
+        expect = train_lib.create_train_state(cfg, jax.random.PRNGKey(0))
+        expect_vars = ({"params": expect.params, "batch_stats": expect.batch_stats}
+                       if expect.batch_stats is not None else expect.params)
+        got_paths = {jax.tree_util.keystr(p)
+                     for p, _ in jax.tree_util.tree_flatten_with_path(params)[0]}
+        want_paths = {jax.tree_util.keystr(p)
+                      for p, _ in jax.tree_util.tree_flatten_with_path(expect_vars)[0]}
+        if got_paths != want_paths:
+            missing = sorted(want_paths - got_paths)[:5]
+            extra = sorted(got_paths - want_paths)[:5]
+            raise SystemExit(
+                f"checkpoint {cfg.infer.weights} does not match the model built "
+                f"from the CLI flags (--backbone {cfg.model.backbone}, --norm "
+                f"{cfg.model.norm}, --num_stacks {cfg.model.num_stacks}).\n"
+                f"  sample missing keys: {missing}\n  sample extra keys: {extra}")
         log.info("loaded weights from %s%s", cfg.infer.weights,
                  " (EMA)" if getattr(args, "use_ema", False) else "")
     else:
@@ -65,9 +82,18 @@ def main() -> None:
     if getattr(args, "profile_dir", ""):
         jax.profiler.start_trace(args.profile_dir)
 
-    def write_result(iid, label, boxes, dscores, dvalid):
+    save_vis = getattr(args, "save_vis", False)
+
+    def write_result(iid, label, boxes, dscores, dvalid, image=None):
         cv2.imwrite(os.path.join(cfg.infer.save_dir, f"{iid}_label.png"),
                     label.astype(np.uint16))
+        if save_vis and image is not None:
+            from kgtpu.visualize import denormalize, draw_instances
+            vis = draw_instances(
+                denormalize(image, cfg.data.mean, cfg.data.std),
+                label, boxes, dscores, dvalid)
+            cv2.imwrite(os.path.join(cfg.infer.save_dir, f"{iid}_vis.png"),
+                        cv2.cvtColor(vis, cv2.COLOR_RGB2BGR))
         rec = {
             "id": iid,
             "boxes": boxes[dvalid].tolist(),
@@ -96,7 +122,8 @@ def main() -> None:
             out = infer(params, imgs)
             summary.append(write_result(
                 iid, np.asarray(out["label_map"]), np.asarray(out["boxes"]),
-                np.asarray(out["scores"]), np.asarray(out["valid"])))
+                np.asarray(out["scores"]), np.asarray(out["valid"]),
+                image=np.asarray(imgs["1"])))
             if i % 10 == 0:
                 log.info("%d/%d (%.2f img/s)", i + 1, len(ds),
                          (i + 1) / max(time.time() - t0, 1e-6))
@@ -118,7 +145,8 @@ def main() -> None:
                     iid, np.asarray(out["label_map"][k]),
                     np.asarray(out["boxes"][k]),
                     np.asarray(out["scores"][k]),
-                    np.asarray(out["valid"][k])))
+                    np.asarray(out["valid"][k]),
+                    image=samples[k]["image"]))
             done += len(idxs)
             log.info("%d/%d (%.2f img/s)", done, len(ds),
                      done / max(time.time() - t0, 1e-6))

@@ -61,6 +61,8 @@ def main() -> None:
         log.info("data-parallel over %d devices", n_dev)
 
     profile_dir = getattr(args, "profile_dir", "")
+    metrics_path = os.path.join(tcfg.save_dir, "metrics.jsonl")
+    os.makedirs(tcfg.save_dir, exist_ok=True)
 
     for epoch in range(start_epoch, tcfg.num_epochs):
         it = batch_iterator(ds, cfg.data, tcfg.batch_size, augment=True,
@@ -82,6 +84,14 @@ def main() -> None:
         if profile_dir and epoch == start_epoch:
             jax.profiler.stop_trace()
             log.info("profile written to %s", profile_dir)
+        # structured per-epoch metrics (SURVEY.md §5 observability)
+        import json
+        with open(metrics_path, "a") as f:
+            f.write(json.dumps({
+                "epoch": epoch,
+                **{k: round(float(v), 6) for k, v in metrics.items()},
+                "img_per_sec": round(seen / max(time.time() - t0, 1e-6), 2),
+            }) + "\n")
         if (epoch + 1) % tcfg.save_every_epochs == 0 or epoch == tcfg.num_epochs - 1:
             path = checkpoint.save(tcfg.save_dir, epoch, state)
             log.info("saved %s", path)
