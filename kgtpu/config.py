@@ -47,6 +47,9 @@ class ModelConfig:
     # Numerics
     compute_dtype: str = "bfloat16"    # MXU-friendly; params stay float32
     param_dtype: str = "float32"
+    remat: bool = False                # jax.checkpoint each hourglass stack:
+                                       # trades recompute for activation HBM
+                                       # (larger train batches per chip)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -198,6 +201,9 @@ def build_train_parser() -> argparse.ArgumentParser:
     _add_common(p)
     p.add_argument("--batch_size", type=int, default=8)
     p.add_argument("--ema_decay", type=float, default=0.0)
+    p.add_argument("--remat", action="store_true",
+                   help="rematerialize hourglass activations (less HBM, "
+                        "more FLOPs -> bigger batches)")
     p.add_argument("--lr", type=float, default=2.5e-4)
     p.add_argument("--num_epochs", type=int, default=100)
     p.add_argument("--steps_per_epoch", type=int, default=0)
@@ -244,7 +250,8 @@ def config_from_train_args(a: argparse.Namespace) -> Config:
     return Config(
         model=dataclasses.replace(c.model, backbone=a.backbone,
                                   num_stacks=a.num_stacks, norm=a.norm,
-                                  use_wh_head=(a.decode == "centernet")),
+                                  use_wh_head=(a.decode == "centernet"),
+                                  remat=a.remat),
         data=dataclasses.replace(c.data, dataset=a.dataset, data_dir=a.data_dir,
                                  input_size=a.input_size),
         group=dataclasses.replace(c.group, method=a.decode,

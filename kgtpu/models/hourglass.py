@@ -49,6 +49,7 @@ class HourglassBackbone(nn.Module):
     depth: int = 4
     norm: str = "group"
     dtype: jnp.dtype = jnp.float32
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -57,10 +58,17 @@ class HourglassBackbone(nn.Module):
         x = Residual(self.features, stride=2, norm=self.norm,
                      dtype=self.dtype)(x, train)
 
+        # remat each hourglass: activations recomputed in backward, cutting
+        # peak HBM roughly per-stack (the jax.checkpoint memory/FLOPs trade).
+        # Explicit names keep the param tree identical to the plain variant,
+        # so remat on/off checkpoints stay interchangeable.
+        hg_cls = (nn.remat(HourglassModule, static_argnums=(2,))
+                  if self.remat else HourglassModule)
+
         outs = []
         for i in range(self.num_stacks):
-            hg = HourglassModule(self.depth, self.features, self.norm,
-                                 self.dtype)(x, train)
+            hg = hg_cls(self.depth, self.features, self.norm,
+                        self.dtype, name=f"HourglassModule_{i}")(x, train)
             feat = ConvBlock(self.features, 3, norm=self.norm,
                              dtype=self.dtype)(hg, train)
             outs.append(feat)

@@ -35,6 +35,7 @@ class KGNet(nn.Module):
                 depth=self.cfg.hg_depth,
                 norm=self.cfg.norm,
                 dtype=dtype,
+                remat=self.cfg.remat,
             )
             n_heads = self.cfg.num_stacks
         elif self.cfg.backbone == "resnet_fpn":
