@@ -227,6 +227,10 @@ def build_test_parser() -> argparse.ArgumentParser:
                    help="inference batch (single-scale path)")
     p.add_argument("--save_vis", action="store_true",
                    help="also write <id>_vis.png overlays (boxes + masks)")
+    p.add_argument("--tiled", action="store_true",
+                   help="whole-slide mode: treat --input_size as the slide "
+                        "side and run sliding-window tiles of --tile_size "
+                        "with --tile_overlap, stitched on device")
     p.add_argument("--test_scales", default="1.0",
                    help="comma-separated TTA scales, e.g. 0.75,1.0,1.25")
     p.add_argument("--save_dir", default="results")

@@ -73,7 +73,16 @@ def main() -> None:
     model = KGNet(cfg=cfg.model)
     scales = cfg.infer.test_scales
     multiscale = tuple(scales) != (1.0,)
-    infer = (build_multiscale_fn if multiscale else build_infer_fn)(model, cfg)
+    tiled = getattr(args, "tiled", False)
+    if tiled and multiscale:
+        raise SystemExit("--tiled and multi-scale --test_scales are exclusive")
+    if tiled:
+        from kgtpu.infer import build_tiled_infer_fn
+        infer = build_tiled_infer_fn(
+            model, cfg, (cfg.infer.input_size, cfg.infer.input_size))
+    else:
+        infer = (build_multiscale_fn if multiscale else build_infer_fn)(
+            model, cfg)
     ds = build_dataset(cfg.data, split="test")
     os.makedirs(cfg.infer.save_dir, exist_ok=True)
     rng = np.random.default_rng(0)
@@ -106,7 +115,33 @@ def main() -> None:
 
     summary = []
     t0 = time.time()
-    if multiscale:
+    if tiled:
+        from kgtpu.native import renumber_label_map as native_renumber
+        for i in range(len(ds)):
+            raw = ds[i]
+            iid = raw.get("id", f"img_{i:05d}")
+            s = _prepare_sample(raw, cfg.data, augment=False, rng=rng)
+            out = infer(params, s["image"])
+            lab = np.asarray(out["label_map"])
+            scores_full = np.asarray(out["scores"])   # [T*D], slot-aligned
+            boxes_full = np.asarray(out["boxes"])
+            ids = np.unique(lab)
+            ids = ids[ids > 0].astype(np.int32)
+            # renumber to contiguous 1..P and align scores/boxes to new ids
+            relab = native_renumber(lab, ids)
+            if relab is None:   # no native toolchain
+                relab = np.zeros_like(lab)
+                for k, oid in enumerate(ids):
+                    relab[lab == oid] = k + 1
+            sc = scores_full[ids - 1]
+            bx = boxes_full[ids - 1]
+            summary.append(write_result(
+                iid, relab, bx, sc, np.ones(len(ids), bool),
+                image=s["image"]))
+            if i % 5 == 0:
+                log.info("%d/%d (%.2f slides/s)", i + 1, len(ds),
+                         (i + 1) / max(time.time() - t0, 1e-6))
+    elif multiscale:
         for i in range(len(ds)):
             raw = ds[i]
             iid = raw.get("id", f"img_{i:05d}")
