@@ -13,17 +13,11 @@ from kgtpu.ops.targets import keypoints_from_boxes, render_heatmaps
 
 
 def _boxes_strategy(n=12, frame=64.0):
-    def build(seed):
-        rng = np.random.default_rng(seed)
-        x0 = rng.uniform(0, frame - 8, n)
-        y0 = rng.uniform(0, frame - 8, n)
-        w = rng.uniform(1, 24, n)
-        h = rng.uniform(1, 24, n)
-        boxes = np.stack([x0, y0, x0 + w, y0 + h], -1).astype(np.float32)
-        scores = rng.uniform(0.01, 1.0, n).astype(np.float32)
-        valid = rng.uniform(size=n) < 0.8
-        return boxes, scores, valid
-    return st.integers(0, 10_000).map(build)
+    from tests.test_ops_nms import _random_dets
+
+    return st.integers(0, 10_000).map(
+        lambda seed: _random_dets(np.random.default_rng(seed), n,
+                                  frame=frame, p_valid=0.8))
 
 
 @settings(max_examples=20, deadline=None)
@@ -35,9 +29,11 @@ def test_nms_idempotent(data):
     twice = box_nms(once, 0.5)
     np.testing.assert_array_equal(np.asarray(once.valid),
                                   np.asarray(twice.valid))
-    np.testing.assert_allclose(
-        np.asarray(once.boxes)[np.asarray(once.valid)],
-        np.asarray(twice.boxes)[np.asarray(twice.valid)])
+    v = np.asarray(once.valid)
+    np.testing.assert_allclose(np.asarray(once.boxes)[v],
+                               np.asarray(twice.boxes)[v])
+    np.testing.assert_allclose(np.asarray(once.scores)[v],
+                               np.asarray(twice.scores)[v])
 
 
 @settings(max_examples=20, deadline=None)
@@ -64,9 +60,12 @@ def test_decode_scores_sorted_and_coords_in_bounds(seed):
     out = decode_peaks(jnp.asarray(hm), jnp.asarray(reg), 10)
     s = np.asarray(out.scores)
     assert (np.diff(s, axis=1) <= 1e-6).all()
+    # with reg in [-0.5, 0.5] the exact invariant is [-0.5, dim-1+0.5];
+    # tighter bound catches half-pixel convention regressions (OPEN-10)
     xy = np.asarray(out.coords)
-    assert (xy[..., 0] >= -1).all() and (xy[..., 0] <= w).all()
-    assert (xy[..., 1] >= -1).all() and (xy[..., 1] <= h).all()
+    eps = 1e-6
+    assert (xy[..., 0] >= -0.5 - eps).all() and (xy[..., 0] <= w - 0.5 + eps).all()
+    assert (xy[..., 1] >= -0.5 - eps).all() and (xy[..., 1] <= h - 0.5 + eps).all()
 
 
 @settings(max_examples=10, deadline=None)
