@@ -23,7 +23,10 @@ Batch = dict  # {"image", "boxes", "valid", "label_map"} — see data/__init__
 
 
 def _prepare_sample(sample: dict, cfg: DataConfig, augment: bool,
-                    rng: np.random.Generator) -> dict:
+                    rng: np.random.Generator,
+                    image_only: bool = False) -> dict:
+    """image_only=True skips GT geometry (inference paths only read the
+    image; boxes_from_label_map + renumber are pure waste there)."""
     if augment:
         m = transforms.random_affine_params(
             rng, cfg.input_size, sample["label_map"].shape,
@@ -33,11 +36,13 @@ def _prepare_sample(sample: dict, cfg: DataConfig, augment: bool,
                                     color_jitter=cfg.color_jitter, rng=rng)
     else:
         s = transforms.resize_sample(sample, cfg.input_size)
+    img = s["image"].astype(np.float32) / 255.0
+    img = (img - np.asarray(cfg.mean, np.float32)) / np.asarray(cfg.std, np.float32)
+    if image_only:
+        return {"image": img, "label_map": s["label_map"]}
     boxes, valid, remap = transforms.boxes_from_label_map(
         s["label_map"], cfg.max_instances)
     label = transforms.renumber_label_map(s["label_map"], remap)
-    img = s["image"].astype(np.float32) / 255.0
-    img = (img - np.asarray(cfg.mean, np.float32)) / np.asarray(cfg.std, np.float32)
     return {"image": img, "boxes": boxes, "valid": valid, "label_map": label}
 
 
@@ -62,6 +67,10 @@ def batch_iterator(dataset, cfg: DataConfig, batch_size: int, *,
     """
     rng = np.random.default_rng(seed)
     n = len(dataset)
+    if n < batch_size:
+        raise ValueError(
+            f"dataset has {n} samples < batch_size {batch_size}; "
+            "the iterator would produce no batches")
 
     def index_stream():
         while True:

@@ -37,6 +37,7 @@ from kgtpu.ops.roi import paste_masks
 from kgtpu.ops.tiling import (
     extract_tiles,
     ownership_mask,
+    ownership_rects,
     stitch_tiles,
     tile_grid,
 )
@@ -168,27 +169,34 @@ def build_tiled_infer_fn(model: KGNet, cfg: Config,
     "data" axis, so tiles fan out over chips — the spatial-DP layout of
     SURVEY.md §2.10 (pick tile_batch = a multiple of the mesh size).
     """
+    if cfg.group.method == "centernet" and not cfg.model.use_wh_head:
+        raise ValueError(
+            'group.method="centernet" needs model.use_wh_head=True')
     h, w = image_hw
     ts, ov = cfg.infer.tile_size, cfg.infer.tile_overlap
     s = cfg.data.stride
     d = cfg.group.max_detections
     origins_np = tile_grid(h, w, ts, ov)
+    rects_np = ownership_rects(origins_np, ts)
     n_tiles = len(origins_np)
     pad = (-n_tiles) % tile_batch
     # padding tiles reuse origin 0 and are masked out via a validity flag
     origins_pad = np.concatenate(
         [origins_np, np.zeros((pad, 2), np.int32)], axis=0)
+    rects_pad = np.concatenate(
+        [rects_np, np.zeros((pad, 4), np.float32)], axis=0)
     tile_ok_np = np.concatenate(
         [np.ones(n_tiles, bool), np.zeros(pad, bool)])
     n_chunks = (n_tiles + pad) // tile_batch
 
     def infer_tiled(params, image):
         origins = jnp.asarray(origins_pad)
+        rects = jnp.asarray(rects_pad)
         tile_ok = jnp.asarray(tile_ok_np)
         tile_ids = jnp.arange(n_tiles + pad, dtype=jnp.int32)
 
         def chunk_body(_, inp):
-            org, ok, tid = inp                      # [TB, 2], [TB], [TB]
+            org, rct, ok, tid = inp                 # [TB,2],[TB,4],[TB],[TB]
             tiles = extract_tiles(image, org, ts)   # [TB, ts, ts, 3]
             if mesh is not None:
                 from jax.sharding import NamedSharding, PartitionSpec
@@ -197,7 +205,7 @@ def build_tiled_infer_fn(model: KGNet, cfg: Config,
             out = model.apply(_vars(params), tiles)
             last = out["stacks"][-1]
 
-            def per_tile(hm, reg, wh, feat, origin, t_ok, tile_idx):
+            def per_tile(hm, reg, wh, feat, origin, rect, t_ok, tile_idx):
                 if cfg.group.method == "centernet":
                     cand = decode_center_wh(
                         hm, reg, wh, cfg.group.max_detections,
@@ -209,7 +217,7 @@ def build_tiled_infer_fn(model: KGNet, cfg: Config,
                 dets = box_nms(cand, cfg.group.nms_iou)
                 dets_px = Boxes(boxes=dets.boxes * s, scores=dets.scores,
                                 valid=dets.valid)
-                own = ownership_mask(dets_px, origin, ts, ov, h, w) & t_ok
+                own = ownership_mask(dets_px, origin, rect) & t_ok
                 logits = model.apply(_vars(params), feat, dets.boxes,
                                      method=KGNet.mask_logits)
                 probs = jax.nn.sigmoid(logits)
@@ -222,9 +230,10 @@ def build_tiled_infer_fn(model: KGNet, cfg: Config,
 
             wh = last.get("wh", jnp.zeros_like(last["reg"]))
             return None, jax.vmap(per_tile)(
-                last["hm"], last["reg"], wh, out["feat"], org, ok, tid)
+                last["hm"], last["reg"], wh, out["feat"], org, rct, ok, tid)
 
         xs = (origins.reshape(n_chunks, tile_batch, 2),
+              rects.reshape(n_chunks, tile_batch, 4),
               tile_ok.reshape(n_chunks, tile_batch),
               tile_ids.reshape(n_chunks, tile_batch))
         _, (labels, scores_map, gboxes, gscores, gvalid) = jax.lax.scan(

@@ -52,25 +52,44 @@ def extract_tiles(image: jnp.ndarray, origins: jnp.ndarray, tile: int
     return jax.vmap(one)(origins)
 
 
-def ownership_mask(dets: Boxes, origin: jnp.ndarray, tile: int, overlap: int,
-                   height: int, width: int) -> jnp.ndarray:
-    """[D] bool: detection centers inside this tile's owned region.
+def ownership_rects(origins: np.ndarray, tile: int) -> np.ndarray:
+    """[T, 4] owned regions (lo_x, lo_y, hi_x, hi_y) in IMAGE coordinates.
 
-    Coordinates of `dets` are tile-local pixels.  The owned region is
-    [overlap/2, tile - overlap/2) in each axis, extended to the image edge
-    when the tile touches it.
+    Ownership is a *partition* of the plane: along each axis the boundary
+    between adjacent tiles sits at the midpoint of their overlap region,
+    and the first/last tiles extend to ±inf.  Midpoint boundaries (rather
+    than fixed overlap/2 margins) stay a partition even when `tile_grid`
+    clamps the last origin to the image border and overlaps irregularly —
+    the fixed-margin form made border-adjacent tiles both own a strip,
+    duplicating every detection centered there.
     """
-    cy = (dets.boxes[:, 1] + dets.boxes[:, 3]) * 0.5
-    cx = (dets.boxes[:, 0] + dets.boxes[:, 2]) * 0.5
-    half = overlap / 2.0
-    oy, ox = origin[0], origin[1]
 
-    lo_y = jnp.where(oy == 0, -jnp.inf, half)
-    hi_y = jnp.where(oy + tile >= height, jnp.inf, tile - half)
-    lo_x = jnp.where(ox == 0, -jnp.inf, half)
-    hi_x = jnp.where(ox + tile >= width, jnp.inf, tile - half)
-    return ((cy >= lo_y) & (cy < hi_y) & (cx >= lo_x) & (cx < hi_x)
-            & dets.valid)
+    def axis_bounds(starts: np.ndarray) -> dict:
+        uniq = np.unique(starts)
+        lo = {}
+        hi = {}
+        for i, o in enumerate(uniq):
+            lo[o] = -np.inf if i == 0 else (uniq[i - 1] + o + tile) / 2.0
+            hi[o] = np.inf if i == len(uniq) - 1 else (o + uniq[i + 1] + tile) / 2.0
+        return lo, hi
+
+    ylo, yhi = axis_bounds(origins[:, 0])
+    xlo, xhi = axis_bounds(origins[:, 1])
+    rects = np.asarray(
+        [[xlo[ox], ylo[oy], xhi[ox], yhi[oy]] for oy, ox in origins],
+        np.float64,
+    )
+    return rects.astype(np.float32)
+
+
+def ownership_mask(dets: Boxes, origin: jnp.ndarray, rect: jnp.ndarray
+                   ) -> jnp.ndarray:
+    """[D] bool: detection centers (tile-local pixel coords) inside this
+    tile's owned region `rect` (image coords from `ownership_rects`)."""
+    cy = (dets.boxes[:, 1] + dets.boxes[:, 3]) * 0.5 + origin[0]
+    cx = (dets.boxes[:, 0] + dets.boxes[:, 2]) * 0.5 + origin[1]
+    return ((cy >= rect[1]) & (cy < rect[3])
+            & (cx >= rect[0]) & (cx < rect[2]) & dets.valid)
 
 
 def stitch_tiles(local_labels: jnp.ndarray, local_scores: jnp.ndarray,

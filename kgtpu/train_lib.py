@@ -91,6 +91,12 @@ def loss_fn(params, batch: dict, rng: jax.Array, model: KGNet, cfg: Config,
     valid = batch["valid"]                          # [B, N]
     boxes_st = boxes_px / s                         # stride coords
     kpts = targets_ops.keypoints_from_boxes(boxes_st)            # [B, N, 5, 2]
+    # clamp keypoints INTO the heatmap: border-touching instances have
+    # exclusive corners at exactly ws/hs, which would otherwise splat
+    # off-map and never receive positive supervision (CornerNet-style clamp)
+    kpts = jnp.stack(
+        [jnp.clip(kpts[..., 0], 0.0, ws - 1e-3),
+         jnp.clip(kpts[..., 1], 0.0, hs - 1e-3)], axis=-1)
     sizes = jnp.stack([boxes_st[..., 3] - boxes_st[..., 1],
                        boxes_st[..., 2] - boxes_st[..., 0]], axis=-1)
 
@@ -128,10 +134,18 @@ def loss_fn(params, batch: dict, rng: jax.Array, model: KGNet, cfg: Config,
         metrics["loss_wh"] = l_wh
 
     # --- stage-2 mask head on jittered GT boxes ---------------------------
+    # sample r RANDOM valid instances per image per step: slots are
+    # area-ranked, so taking the first r would train the mask head only on
+    # the largest cells and degrade small-instance masks
     r = tcfg.mask_train_rois
-    roi_boxes_px = _jitter_boxes(boxes_px[:, :r], valid[:, :r], rng,
+    rng_sel, rng_jit = jax.random.split(rng)
+    sel_key = jax.random.uniform(rng_sel, valid.shape) * valid       # [B, N]
+    _, sel = jax.lax.top_k(sel_key, r)                               # [B, r]
+    roi_boxes = jnp.take_along_axis(boxes_px, sel[..., None], axis=1)
+    roi_valid = jnp.take_along_axis(valid, sel, axis=1)
+    roi_ids = (sel + 1).astype(jnp.float32)                          # label ids
+    roi_boxes_px = _jitter_boxes(roi_boxes, roi_valid, rng_jit,
                                  tcfg.roi_jitter)
-    roi_valid = valid[:, :r]
     m = cfg.model.mask_size
     rs = cfg.model.roi_size
 
@@ -153,13 +167,13 @@ def loss_fn(params, batch: dict, rng: jax.Array, model: KGNet, cfg: Config,
                                   method=KGNet.apply_mask_head)
     mask_logits = flat_logits.reshape(b, r, m, m)
 
-    def per_image_gt(label_map, rb_px):
+    def per_image_gt(label_map, rb_px, ids):
         crops = crop_and_resize(label_map[..., None].astype(jnp.float32),
                                 rb_px, m, method="nearest")[..., 0]
-        ids = jnp.arange(1, r + 1, dtype=jnp.float32)[:, None, None]
-        return (crops == ids).astype(jnp.float32)       # [R, m, m]
+        return (crops == ids[:, None, None]).astype(jnp.float32)  # [R, m, m]
 
-    gt_masks = jax.vmap(per_image_gt)(batch["label_map"], roi_boxes_px)
+    gt_masks = jax.vmap(per_image_gt)(batch["label_map"], roi_boxes_px,
+                                      roi_ids)
     l_mask = jnp.mean(jax.vmap(losses.mask_loss)(mask_logits, gt_masks,
                                                  roi_valid))
     total = total + tcfg.w_mask * l_mask

@@ -36,12 +36,21 @@ def main() -> None:
         level=logging.INFO, format="%(asctime)s %(levelname)s %(message)s")
     log = logging.getLogger("kgtpu.test")
 
+    import dataclasses
+
     from kgtpu import checkpoint, train_lib
     from kgtpu.data import build_dataset
     from kgtpu.data.loader import _prepare_sample
-    from kgtpu.data.transforms import resize_sample
     from kgtpu.infer import build_infer_fn, build_multiscale_fn
-    from kgtpu.models import KGNet
+    from kgtpu.models import KGNet, required_divisor
+
+    divisor = required_divisor(cfg.model)
+    if cfg.infer.input_size % divisor:
+        raise SystemExit(
+            f"--input_size {cfg.infer.input_size} must be divisible by "
+            f"{divisor} for backbone {cfg.model.backbone} "
+            f"(hg_depth {cfg.model.hg_depth}); TTA scale sides are rounded "
+            f"to multiples automatically")
 
     if cfg.infer.weights:
         params = checkpoint.restore_params(cfg.infer.weights,
@@ -120,7 +129,8 @@ def main() -> None:
         for i in range(len(ds)):
             raw = ds[i]
             iid = raw.get("id", f"img_{i:05d}")
-            s = _prepare_sample(raw, cfg.data, augment=False, rng=rng)
+            s = _prepare_sample(raw, cfg.data, augment=False, rng=rng,
+                                image_only=True)
             out = infer(params, s["image"])
             lab = np.asarray(out["label_map"])
             scores_full = np.asarray(out["scores"])   # [T*D], slot-aligned
@@ -147,12 +157,10 @@ def main() -> None:
             iid = raw.get("id", f"img_{i:05d}")
             imgs = {}
             for sc in scales:
-                side = int(round(base * sc))
+                side = max(round(base * sc / divisor), 1) * divisor
                 s = _prepare_sample(
-                    {**raw, "label_map": raw["label_map"]},
-                    cfg.data.__class__(**{**cfg.data.__dict__,
-                                          "input_size": side}),
-                    augment=False, rng=rng)
+                    raw, dataclasses.replace(cfg.data, input_size=side),
+                    augment=False, rng=rng, image_only=True)
                 imgs[f"{sc:g}"] = s["image"]
             out = infer(params, imgs)
             summary.append(write_result(
@@ -169,7 +177,8 @@ def main() -> None:
         for start in range(0, len(ds), bs):
             idxs = list(range(start, min(start + bs, len(ds))))
             samples = [
-                _prepare_sample(ds[i], cfg.data, augment=False, rng=rng)
+                _prepare_sample(ds[i], cfg.data, augment=False, rng=rng,
+                                image_only=True)
                 for i in idxs]
             imgs = np.stack([s["image"] for s in samples]
                             + [samples[-1]["image"]] * (bs - len(samples)))

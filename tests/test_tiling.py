@@ -36,25 +36,36 @@ def test_extract_tiles_matches_slices():
         np.testing.assert_array_equal(t, img[oy:oy + 64, ox:ox + 64])
 
 
-def test_ownership_partitions_centers():
-    """Every point must be owned by exactly one tile."""
-    h = w = 96
-    ts, ov = 64, 32
+def _check_partition(h, w, ts, ov, seed=1):
+    """Every point owned by exactly one tile, for this grid geometry."""
     g = tiling.tile_grid(h, w, ts, ov)
-    rng = np.random.default_rng(1)
-    pts = rng.uniform(2, 94, size=(64, 2)).astype(np.float32)
+    rects = tiling.ownership_rects(g, ts)
+    rng = np.random.default_rng(seed)
+    pts = rng.uniform(1, min(h, w) - 1, size=(128, 2)).astype(np.float32)
     owners = np.zeros(len(pts), np.int32)
     for ti, (oy, ox) in enumerate(g):
         local = np.stack([pts[:, 0] - ox - 1, pts[:, 1] - oy - 1,
                           pts[:, 0] - ox + 1, pts[:, 1] - oy + 1], -1)
-        inside_tile = ((local[:, 0] >= 0) & (local[:, 1] >= 0)
-                       & (local[:, 2] <= ts) & (local[:, 3] <= ts))
+        inside_tile = ((local[:, 0] >= -1) & (local[:, 1] >= -1)
+                       & (local[:, 2] <= ts + 1) & (local[:, 3] <= ts + 1))
         dets = Boxes(jnp.asarray(local), jnp.ones(len(pts)),
                      jnp.asarray(inside_tile))
         own = np.asarray(tiling.ownership_mask(
-            dets, jnp.asarray([oy, ox]), ts, ov, h, w))
+            dets, jnp.asarray([oy, ox]), jnp.asarray(rects[ti])))
         owners += own
     np.testing.assert_array_equal(owners, np.ones(len(pts), np.int32))
+
+
+def test_ownership_partitions_centers():
+    _check_partition(96, 96, 64, 32)          # stride-aligned grid
+
+
+def test_ownership_partitions_clamped_grid():
+    """The last tile clamps to the border (2048/512/64-style geometry) —
+    midpoint boundaries must still partition; the old fixed-margin rule
+    double-owned the strip between the last two tiles."""
+    _check_partition(300, 200, 128, 32)
+    _check_partition(2048 // 4, 2048 // 4, 512 // 4, 64 // 4)
 
 
 def test_stitch_resolves_overlap_by_score():

@@ -30,8 +30,15 @@ def main() -> None:
 
     from kgtpu import checkpoint, train_lib
     from kgtpu.data import batch_iterator, build_dataset
-    from kgtpu.models import KGNet
+    from kgtpu.models import KGNet, required_divisor
     from kgtpu.parallel import make_mesh, replicated, shard_batch
+
+    divisor = required_divisor(cfg.model)
+    if cfg.data.input_size % divisor:
+        raise SystemExit(
+            f"--input_size {cfg.data.input_size} must be divisible by "
+            f"{divisor} for backbone {cfg.model.backbone} "
+            f"(hg_depth {cfg.model.hg_depth})")
 
     tcfg = cfg.train
     ds = build_dataset(cfg.data, split="train")
