@@ -104,6 +104,8 @@ class TrainConfig:
 
     batch_size: int = 8
     lr: float = 2.5e-4
+    lr_schedule: str = "constant"      # "constant" | "cosine" (decays to
+                                       # lr/100 over num_epochs*steps_per_epoch)
     lr_warmup_steps: int = 500
     num_epochs: int = 100
     steps_per_epoch: int = 0           # 0 = derive from dataset length
@@ -205,6 +207,8 @@ def build_train_parser() -> argparse.ArgumentParser:
                    help="rematerialize hourglass activations (less HBM, "
                         "more FLOPs -> bigger batches)")
     p.add_argument("--lr", type=float, default=2.5e-4)
+    p.add_argument("--lr_schedule", default="constant",
+                   choices=["constant", "cosine"])
     p.add_argument("--num_epochs", type=int, default=100)
     p.add_argument("--steps_per_epoch", type=int, default=0)
     p.add_argument("--save_dir", default="weights")
@@ -263,6 +267,7 @@ def config_from_train_args(a: argparse.Namespace) -> Config:
                                   max_detections=a.max_detections,
                                   score_thresh=a.conf_thresh, nms_iou=a.nms_iou),
         train=dataclasses.replace(c.train, batch_size=a.batch_size, lr=a.lr,
+                                  lr_schedule=a.lr_schedule,
                                   num_epochs=a.num_epochs,
                                   steps_per_epoch=a.steps_per_epoch,
                                   save_dir=a.save_dir, resume=a.resume,

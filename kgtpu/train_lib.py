@@ -40,9 +40,17 @@ class TrainState(train_state.TrainState):
 def make_optimizer(cfg: Config) -> optax.GradientTransformation:
     tcfg = cfg.train
     # warm up from 5% of peak (not 0 — a 0 init makes step 0 a no-op)
-    sched = optax.warmup_constant_schedule(
-        init_value=0.05 * tcfg.lr, peak_value=tcfg.lr,
-        warmup_steps=max(tcfg.lr_warmup_steps, 1))
+    warmup = max(tcfg.lr_warmup_steps, 1)
+    if tcfg.lr_schedule == "cosine" and tcfg.steps_per_epoch > 0:
+        total = max(tcfg.num_epochs * tcfg.steps_per_epoch, warmup + 1)
+        sched = optax.warmup_cosine_decay_schedule(
+            init_value=0.05 * tcfg.lr, peak_value=tcfg.lr,
+            warmup_steps=warmup, decay_steps=total,
+            end_value=tcfg.lr / 100.0)
+    else:
+        sched = optax.warmup_constant_schedule(
+            init_value=0.05 * tcfg.lr, peak_value=tcfg.lr,
+            warmup_steps=warmup)
     chain = [optax.clip_by_global_norm(tcfg.grad_clip_norm)]
     if tcfg.weight_decay > 0:
         chain.append(optax.adamw(sched, weight_decay=tcfg.weight_decay))
