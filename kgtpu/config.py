@@ -179,7 +179,8 @@ def tiny_test_config() -> Config:
 
 def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--dataset", default="dsb2018",
-                   choices=["synthetic", "dsb2018", "neural_cells"])
+                   choices=["synthetic", "synthetic_crowded", "dsb2018",
+                            "neural_cells"])
     p.add_argument("--data_dir", default="")
     p.add_argument("--input_size", type=int, default=512)
     p.add_argument("--backbone", default="hourglass",

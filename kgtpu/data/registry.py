@@ -6,11 +6,12 @@ from kgtpu.config import DataConfig
 
 
 def build_dataset(cfg: DataConfig, split: str = "train"):
-    if cfg.dataset == "synthetic":
+    if cfg.dataset in ("synthetic", "synthetic_crowded"):
         from kgtpu.data.synthetic import SyntheticCells
         n = {"train": 64, "val": 16, "test": 16}.get(split, 16)
         seed = {"train": 0, "val": 7, "test": 13}.get(split, 7)
-        return SyntheticCells(size=cfg.input_size, num_images=n, seed=seed)
+        return SyntheticCells(size=cfg.input_size, num_images=n, seed=seed,
+                              crowded=cfg.dataset.endswith("crowded"))
     if cfg.dataset == "dsb2018":
         from kgtpu.data.dsb2018 import DSB2018
         return DSB2018(cfg.data_dir, split=split)

@@ -16,11 +16,15 @@ class SyntheticCells:
     """Map-style dataset: __getitem__ → {"image" uint8 HxWx3, "label_map" int32}."""
 
     def __init__(self, size: int = 512, num_images: int = 64,
-                 min_cells: int = 3, max_cells: int = 12, seed: int = 0):
+                 min_cells: int = 3, max_cells: int = 12, seed: int = 0,
+                 crowded: bool = False):
         self.size = size
         self.num_images = num_images
-        self.min_cells = min_cells
-        self.max_cells = max_cells
+        # crowded mode: DSB-nuclei-like density (many small touching cells) —
+        # the stress case for keypoint grouping and max_instances padding
+        self.min_cells = 40 if crowded else min_cells
+        self.max_cells = 90 if crowded else max_cells
+        self.crowded = crowded
         self.seed = seed
         self._cache: dict[int, dict] = {}
 
@@ -37,9 +41,11 @@ class SyntheticCells:
 
         n = int(rng.integers(self.min_cells, self.max_cells + 1))
         inst = 0
+        lo = max(4, s // 64) if self.crowded else max(6, s // 32)
+        hi = max(8, s // 20) if self.crowded else max(10, s // 6)
         for _ in range(n):
-            ax = int(rng.integers(max(6, s // 32), max(10, s // 6)))
-            ay = int(rng.integers(max(6, s // 32), max(10, s // 6)))
+            ax = int(rng.integers(lo, hi))
+            ay = int(rng.integers(lo, hi))
             cx = int(rng.integers(ax, s - ax))
             cy = int(rng.integers(ay, s - ay))
             ang = float(rng.uniform(0, 180))
