@@ -197,6 +197,9 @@ def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--conf_thresh", type=float, default=0.15)
     p.add_argument("--nms_iou", type=float, default=0.5)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--debug_nans", action="store_true",
+                   help="enable jax_debug_nans (report the op producing "
+                        "NaN/Inf; slower)")
 
 
 def build_train_parser() -> argparse.ArgumentParser:

@@ -24,6 +24,10 @@ def main() -> None:
 
     import jax
 
+    if getattr(args, "debug_nans", False):
+        from kgtpu.utils import enable_nan_debugging
+        enable_nan_debugging()
+
     logging.basicConfig(
         level=logging.INFO, format="%(asctime)s %(levelname)s %(message)s")
     log = logging.getLogger("kgtpu.train")
