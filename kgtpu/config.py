@@ -89,7 +89,12 @@ class GroupConfig:
     center_tol: float = 0.35           # center must lie within tol * box diagonal
     edge_tol: float = 0.35             # TR/BL support tolerance, * box diagonal
     min_box_size: float = 2.0          # min width/height in stride-4 pixels
+    max_box_size: float = 1e9          # max width/height (stride px): crowded
+                                       #   scenes grow cross-cell ghost pairs
+                                       #   whose midpoint hits SOME center —
+                                       #   cap from data statistics
     require_center: bool = True        # a box with no center support is dropped
+    require_edges: bool = False        # also require TR and BL support > 0
     w_corner: float = 1.0              # score weights: corner pair mean,
     w_center: float = 1.0              #   center support score,
     w_edge: float = 0.5                #   TR/BL support score mean
@@ -196,6 +201,10 @@ def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--max_detections", type=int, default=128)
     p.add_argument("--conf_thresh", type=float, default=0.15)
     p.add_argument("--nms_iou", type=float, default=0.5)
+    p.add_argument("--max_box_size", type=float, default=0.0,
+                   help="max box side in INPUT pixels (0 = unlimited); set "
+                        "~1.5x your largest cell — kills cross-cell ghost "
+                        "pairs in crowded scenes (see DESIGN.md)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--debug_nans", action="store_true",
                    help="enable jax_debug_nans (report the op producing "
@@ -269,6 +278,8 @@ def config_from_train_args(a: argparse.Namespace) -> Config:
         group=dataclasses.replace(c.group, method=a.decode,
                                   max_peaks_per_class=a.max_peaks,
                                   max_detections=a.max_detections,
+                                  max_box_size=(a.max_box_size / c.data.stride
+                                                if a.max_box_size > 0 else 1e9),
                                   score_thresh=a.conf_thresh, nms_iou=a.nms_iou),
         train=dataclasses.replace(c.train, batch_size=a.batch_size, lr=a.lr,
                                   lr_schedule=a.lr_schedule,
@@ -293,6 +304,8 @@ def config_from_test_args(a: argparse.Namespace) -> Config:
         group=dataclasses.replace(c.group, method=a.decode,
                                   max_peaks_per_class=a.max_peaks,
                                   max_detections=a.max_detections,
+                                  max_box_size=(a.max_box_size / c.data.stride
+                                                if a.max_box_size > 0 else 1e9),
                                   score_thresh=a.conf_thresh, nms_iou=a.nms_iou),
         train=c.train,
         infer=dataclasses.replace(c.infer, weights=a.weights, test_scales=scales,

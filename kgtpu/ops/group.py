@@ -87,6 +87,8 @@ def group_keypoints(peaks: Peaks, cfg: GroupConfig) -> Boxes:
     geom_ok = (
         (dx >= cfg.min_box_size)
         & (dy >= cfg.min_box_size)
+        & (dx <= cfg.max_box_size)
+        & (dy <= cfg.max_box_size)
         & (tl_s[:, None] > cfg.kp_score_thresh)
         & (br_s[None, :] > cfg.kp_score_thresh)
     )
@@ -126,6 +128,8 @@ def group_keypoints(peaks: Peaks, cfg: GroupConfig) -> Boxes:
     ok = geom_ok & (score > cfg.score_thresh)
     if cfg.require_center:
         ok = ok & (center_sup > 0.0)
+    if cfg.require_edges:
+        ok = ok & (tr_sup > 0.0) & (bl_sup > 0.0)
 
     # --- greedy matching: emit boxes by descending score, consuming each
     # TL / BR node at most once.  `lax.scan` of argmax+suppress keeps the

@@ -83,6 +83,41 @@ def test_group_robust_to_keypoint_noise():
         assert np.abs(got - b).max(axis=-1).min() < 3.0
 
 
+def test_group_max_box_size_kills_cross_ghosts():
+    """Crowded-scene regression: when a cell's partner corner is MISSED
+    (common in dense scenes), its leftover corner can cross-pair with a
+    distant cell's leftover corner into a huge ghost whose midpoint lands
+    near some third cell's center.  The size prior must reject it."""
+    boxes = np.array(
+        [[2.0, 2.0, 10.0, 10.0],      # cell A (its BR will be missed)
+         [60.0, 60.0, 68.0, 68.0],    # cell B (its TL will be missed)
+         [31.0, 31.0, 39.0, 39.0]],   # cell C centered at the ghost midpoint
+        np.float32)
+    scores = np.array([0.9, 0.9, 0.9], np.float32)
+    peaks = _peaks_from_boxes(boxes, scores)
+    # equal scores → slot i == instance i; knock out A.BR and B.TL
+    from kgtpu.config import KP_BR, KP_TL
+    ps = np.asarray(peaks.scores).copy()
+    ps[KP_BR, 0] = 0.0
+    ps[KP_TL, 1] = 0.0
+    peaks = peaks._replace(scores=jnp.asarray(ps))
+
+    # without the cap: A.TL x B.BR ghost (2,2,68,68) forms, supported by C
+    out2 = group_keypoints(peaks, GroupConfig(max_peaks_per_class=16,
+                                              max_detections=16))
+    got2 = np.asarray(out2.boxes)[np.asarray(out2.valid)]
+    assert any((b[2] - b[0]) > 20 for b in got2), "expected ghost w/o cap"
+
+    # with the cap: only well-sized boxes survive
+    out = group_keypoints(peaks, GroupConfig(max_peaks_per_class=16,
+                                             max_detections=16,
+                                             max_box_size=20.0))
+    got = np.asarray(out.boxes)[np.asarray(out.valid)]
+    assert len(got) >= 1
+    for b in got:
+        assert (b[2] - b[0]) <= 20.0 and (b[3] - b[1]) <= 20.0
+
+
 def test_group_min_box_size_filters_degenerate():
     boxes = np.array([[10.0, 10.0, 10.5, 10.5]], np.float32)  # sub-min box
     out = group_keypoints(
