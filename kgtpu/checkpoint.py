@@ -95,6 +95,14 @@ def restore(path_or_dir: str, state=None) -> dict:
     return {"state": new_state, "epoch": int(payload["epoch"])}
 
 
+def restore_extra(path_or_dir: str) -> dict:
+    """The free-form `extra` payload (e.g. dataset size statistics), {} if
+    the checkpoint predates it."""
+    payload = _ckptr().restore(resolve(path_or_dir))
+    extra = payload.get("extra") or {}
+    return {k: np.asarray(v) for k, v in extra.items()}
+
+
 def restore_params(path_or_dir: str, use_ema: bool = False) -> dict:
     """Inference-weights load (test.py --weights).
 

@@ -79,6 +79,18 @@ def main() -> None:
                 f"  sample missing keys: {missing}\n  sample extra keys: {extra}")
         log.info("loaded weights from %s%s", cfg.infer.weights,
                  " (EMA)" if getattr(args, "use_ema", False) else "")
+        # derive the grouper's size prior from the checkpoint's dataset
+        # stats unless the user set --max_box_size explicitly
+        if getattr(args, "max_box_size", 0) == 0:
+            extra = checkpoint.restore_extra(cfg.infer.weights)
+            side = float(extra.get("max_gt_box_side_px", 0.0))
+            if side > 0:
+                cap = 1.5 * side / cfg.data.stride
+                cfg = dataclasses.replace(
+                    cfg, group=dataclasses.replace(cfg.group,
+                                                   max_box_size=cap))
+                log.info("size prior from checkpoint stats: max box side "
+                         "%.1f stride px (1.5 x %.0f px GT max)", cap, side)
     else:
         log.warning("no --weights given: running with random init")
         params = train_lib.create_train_state(cfg, jax.random.PRNGKey(0)).params

@@ -75,6 +75,24 @@ def main() -> None:
     metrics_path = os.path.join(tcfg.save_dir, "metrics.jsonl")
     os.makedirs(tcfg.save_dir, exist_ok=True)
 
+    # dataset size statistics, stored with every checkpoint: test.py derives
+    # the grouper's ghost-killing size prior from them (DESIGN.md rule 3)
+    import numpy as np
+
+    from kgtpu.data.transforms import boxes_from_label_map, resize_sample
+    sides = []
+    for i in range(min(len(ds), 32)):
+        s = resize_sample(ds[i], cfg.data.input_size)
+        bx, v, _ = boxes_from_label_map(s["label_map"], cfg.data.max_instances)
+        if v.sum():
+            wh = np.maximum(bx[v > 0, 2] - bx[v > 0, 0],
+                            bx[v > 0, 3] - bx[v > 0, 1])
+            sides.append(wh.max())
+    max_side = float(np.max(sides)) if sides else 0.0
+    data_stats = {"max_gt_box_side_px": np.asarray(max_side, np.float32)}
+    log.info("dataset stats: max GT box side %.1f px (stored in checkpoints)",
+             max_side)
+
     for epoch in range(start_epoch, tcfg.num_epochs):
         it = batch_iterator(ds, cfg.data, tcfg.batch_size, augment=True,
                             seed=tcfg.seed + epoch, steps=steps_per_epoch)
@@ -104,7 +122,8 @@ def main() -> None:
                 "img_per_sec": round(seen / max(time.time() - t0, 1e-6), 2),
             }) + "\n")
         if (epoch + 1) % tcfg.save_every_epochs == 0 or epoch == tcfg.num_epochs - 1:
-            path = checkpoint.save(tcfg.save_dir, epoch, state)
+            path = checkpoint.save(tcfg.save_dir, epoch, state,
+                                   extra=data_stats)
             log.info("saved %s", path)
 
 
