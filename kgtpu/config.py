@@ -142,6 +142,8 @@ class InferConfig:
 
     weights: str = ""                  # checkpoint to load
     test_scales: tuple[float, ...] = (1.0,)   # multi-scale TTA scales
+    test_flip: bool = False            # add horizontal-flip TTA (merged on
+                                       # device like the extra scales)
     input_size: int = 512              # inference canvas (pad/resize to square)
     batch_size: int = 1
     # whole-slide sliding-window tiling (BASELINE config 5)
@@ -250,6 +252,8 @@ def build_test_parser() -> argparse.ArgumentParser:
                         "with --tile_overlap, stitched on device")
     p.add_argument("--test_scales", default="1.0",
                    help="comma-separated TTA scales, e.g. 0.75,1.0,1.25")
+    p.add_argument("--test_flip", action="store_true",
+                   help="add horizontal-flip TTA (merged on device)")
     p.add_argument("--save_dir", default="results")
     p.add_argument("--tile_size", type=int, default=512)
     p.add_argument("--tile_overlap", type=int, default=64)
@@ -309,6 +313,7 @@ def config_from_test_args(a: argparse.Namespace) -> Config:
                                   score_thresh=a.conf_thresh, nms_iou=a.nms_iou),
         train=c.train,
         infer=dataclasses.replace(c.infer, weights=a.weights, test_scales=scales,
+                                  test_flip=a.test_flip,
                                   input_size=a.input_size, save_dir=a.save_dir,
                                   tile_size=a.tile_size,
                                   tile_overlap=a.tile_overlap,

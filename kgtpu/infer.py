@@ -145,6 +145,18 @@ def build_multiscale_fn(model: KGNet, cfg: Config) -> Callable:
             dets = Boxes(boxes=dets.boxes * factor, scores=dets.scores,
                          valid=dets.valid)
             all_dets.append(dets)
+            if cfg.infer.test_flip:
+                # horizontal-flip TTA at this scale: detect on the mirrored
+                # image, un-mirror the boxes (x' = W_stride - x, swapped)
+                fdets, _ = _detect_single(model, cfg, params, img[:, ::-1])
+                ws = img.shape[1] / cfg.data.stride
+                fb = fdets.boxes
+                unflipped = jnp.stack(
+                    [ws - fb[:, 2], fb[:, 1], ws - fb[:, 0], fb[:, 3]],
+                    axis=-1)
+                all_dets.append(Boxes(boxes=unflipped * factor,
+                                      scores=fdets.scores,
+                                      valid=fdets.valid))
         merged = merge_scales(all_dets, cfg.group.nms_iou,
                               cfg.group.max_detections)
         assert base_feat is not None, "test_scales must include 1.0"

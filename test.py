@@ -97,7 +97,7 @@ def main() -> None:
 
     model = KGNet(cfg=cfg.model)
     scales = cfg.infer.test_scales
-    multiscale = tuple(scales) != (1.0,)
+    multiscale = tuple(scales) != (1.0,) or cfg.infer.test_flip
     tiled = getattr(args, "tiled", False)
     if tiled and multiscale:
         raise SystemExit("--tiled and multi-scale --test_scales are exclusive")
