@@ -28,12 +28,13 @@ def main():
     model = KGNet(cfg=cfg.model)
     ms = build_multiscale_fn(model, cfg)
     base = cfg.infer.input_size
-    imgs = {f"{sc:g}": jnp.zeros((int(round(base * sc)),) * 2 + (3,),
+    batch = int(os.environ.get("KGTPU_BENCH_BATCH", "8"))
+    imgs = {f"{sc:g}": jnp.zeros((batch,) + (int(round(base * sc)),) * 2 + (3,),
                                  jnp.float32) for sc in scales}
     r = bench_fn(ms, state.params, imgs, iters=10)
     emit({"metric": "config4_tta3_img_per_sec",
-          "value": round(r["calls_per_sec"], 2), "unit": "img/s",
-          "scales": list(scales), "vs_baseline": None})
+          "value": round(batch * r["calls_per_sec"], 2), "unit": "img/s",
+          "scales": list(scales), "batch": batch, "vs_baseline": None})
 
 
 if __name__ == "__main__":

@@ -121,22 +121,23 @@ def build_detect_fn(model: KGNet, cfg: Config) -> Callable:
 
 
 def build_multiscale_fn(model: KGNet, cfg: Config) -> Callable:
-    """Multi-scale TTA for a single image.  [SURVEY.md C16 / §3.3]
+    """Multi-scale (and flip) TTA, batched on device.  [SURVEY.md C16 / §3.3;
+    BASELINE config 4 "batched on-device"]
 
-    Returns fn(params, {scale: image_at_scale}) where each value is the
-    image resized to round(scale * input_size); detections from every scale
-    are mapped to base-scale stride coords, merged with cross-scale NMS on
-    device, and the mask stage runs once on base-scale features.
+    Returns fn(params, {scale: images_at_scale}) where each value is
+    [B, side, side, 3] with side = round(scale * input_size) (B may be 1);
+    per image, detections from every scale/flip variant are mapped to
+    base-scale stride coords, merged with cross-variant NMS on device, and
+    the mask stage runs once on base-scale features.
     """
     scales = cfg.infer.test_scales
     base = cfg.infer.input_size
 
-    @jax.jit
-    def infer_ms(params, images_by_scale: dict):
+    def _per_image(params, images_one: dict):
         all_dets = []
         base_feat = None
         for sc in scales:
-            img = images_by_scale[f"{sc:g}"]
+            img = images_one[f"{sc:g}"]
             dets, feat = _detect_single(model, cfg, params, img)
             if sc == 1.0:
                 base_feat = feat
@@ -161,6 +162,13 @@ def build_multiscale_fn(model: KGNet, cfg: Config) -> Callable:
                               cfg.group.max_detections)
         assert base_feat is not None, "test_scales must include 1.0"
         return _mask_single(model, cfg, params, base_feat, merged, base, base)
+
+    @jax.jit
+    def infer_ms(params, images_by_scale: dict):
+        some = next(iter(images_by_scale.values()))
+        if some.ndim == 3:                       # single image, no batch axis
+            return _per_image(params, images_by_scale)
+        return jax.vmap(lambda imgs: _per_image(params, imgs))(images_by_scale)
 
     return infer_ms
 

@@ -168,24 +168,33 @@ def main() -> None:
                 log.info("%d/%d (%.2f slides/s)", i + 1, len(ds),
                          (i + 1) / max(time.time() - t0, 1e-6))
     elif multiscale:
-        for i in range(len(ds)):
-            raw = ds[i]
-            iid = raw.get("id", f"img_{i:05d}")
+        # batched TTA: per-scale image stacks, last chunk padded
+        bs = max(cfg.infer.batch_size, 1)
+        done = 0
+        for start in range(0, len(ds), bs):
+            idxs = list(range(start, min(start + bs, len(ds))))
             imgs = {}
             for sc in scales:
                 side = max(round(base * sc / divisor), 1) * divisor
-                s = _prepare_sample(
-                    raw, dataclasses.replace(cfg.data, input_size=side),
-                    augment=False, rng=rng, image_only=True)
-                imgs[f"{sc:g}"] = s["image"]
+                dcfg = dataclasses.replace(cfg.data, input_size=side)
+                stack = [
+                    _prepare_sample(ds[i], dcfg, augment=False, rng=rng,
+                                    image_only=True)["image"]
+                    for i in idxs]
+                imgs[f"{sc:g}"] = np.stack(
+                    stack + [stack[-1]] * (bs - len(stack)))
             out = infer(params, imgs)
-            summary.append(write_result(
-                iid, np.asarray(out["label_map"]), np.asarray(out["boxes"]),
-                np.asarray(out["scores"]), np.asarray(out["valid"]),
-                image=np.asarray(imgs["1"])))
-            if i % 10 == 0:
-                log.info("%d/%d (%.2f img/s)", i + 1, len(ds),
-                         (i + 1) / max(time.time() - t0, 1e-6))
+            for k, i in enumerate(idxs):
+                iid = ds[i].get("id", f"img_{i:05d}")
+                summary.append(write_result(
+                    iid, np.asarray(out["label_map"][k]),
+                    np.asarray(out["boxes"][k]),
+                    np.asarray(out["scores"][k]),
+                    np.asarray(out["valid"][k]),
+                    image=np.asarray(imgs["1"][k])))
+            done += len(idxs)
+            log.info("%d/%d (%.2f img/s)", done, len(ds),
+                     done / max(time.time() - t0, 1e-6))
     else:
         # batched single-scale path: fixed batch, last chunk padded
         bs = max(cfg.infer.batch_size, 1)
