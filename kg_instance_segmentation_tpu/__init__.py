@@ -5,13 +5,38 @@ fully-spelled package name so either import works:
 
     import kg_instance_segmentation_tpu as kgtpu
     from kg_instance_segmentation_tpu import models, ops, infer
+    from kg_instance_segmentation_tpu.predictor import Predictor
+
+Every kgtpu submodule is imported eagerly and mirrored into sys.modules, so
+`import kg_instance_segmentation_tpu.X` always resolves to the SAME module
+object as `import kgtpu.X` (lazy aliasing would let the alias path re-import
+a duplicate module — duplicate classes, duplicate jit caches).
 """
 
+from __future__ import annotations
+
+import importlib as _importlib
+import pkgutil as _pkgutil
 import sys as _sys
 
 import kgtpu as _kgtpu
 from kgtpu import *  # noqa: F401,F403
-from kgtpu import (  # noqa: F401
+
+__version__ = _kgtpu.__version__
+
+# eagerly import the full kgtpu tree, then mirror it under this name
+for _info in _pkgutil.walk_packages(_kgtpu.__path__, prefix="kgtpu."):
+    try:
+        _importlib.import_module(_info.name)
+    except ImportError:
+        pass  # optional deps of a submodule missing — skip its alias too
+
+for _name in [n for n in _sys.modules if n.startswith("kgtpu.")]:
+    _sys.modules["kg_instance_segmentation_tpu" + _name[len("kgtpu"):]] = (
+        _sys.modules[_name])
+
+# convenience attribute access (kg_instance_segmentation_tpu.models etc.)
+from kgtpu import (  # noqa: F401,E402
     checkpoint,
     config,
     data,
@@ -21,13 +46,8 @@ from kgtpu import (  # noqa: F401
     models,
     ops,
     parallel,
+    predictor,
     train_lib,
     utils,
+    visualize,
 )
-
-__version__ = _kgtpu.__version__
-
-# submodule aliases so `kg_instance_segmentation_tpu.ops.decode` etc. resolve
-for _name, _mod in list(_sys.modules.items()):
-    if _name.startswith("kgtpu"):
-        _sys.modules["kg_instance_segmentation_tpu" + _name[len("kgtpu"):]] = _mod

@@ -95,28 +95,33 @@ def restore(path_or_dir: str, state=None) -> dict:
     return {"state": new_state, "epoch": int(payload["epoch"])}
 
 
-def restore_extra(path_or_dir: str) -> dict:
-    """The free-form `extra` payload (e.g. dataset size statistics), {} if
-    the checkpoint predates it."""
-    payload = _ckptr().restore(resolve(path_or_dir))
-    extra = payload.get("extra") or {}
-    return {k: np.asarray(v) for k, v in extra.items()}
+def restore_bundle(path_or_dir: str, use_ema: bool = False) -> tuple[dict, dict]:
+    """One restore for inference consumers: (params_or_variables, extra).
 
-
-def restore_params(path_or_dir: str, use_ema: bool = False) -> dict:
-    """Inference-weights load (test.py --weights).
-
-    Returns bare params for GroupNorm models, or a full variables dict
-    ({"params", "batch_stats"}) for BatchNorm models — `kgtpu.infer`
-    accepts either.  With use_ema=True, EMA params are preferred when the
-    checkpoint has them.
+    params: bare params for GroupNorm models, or a full variables dict
+    ({"params", "batch_stats"}) for BatchNorm models — `kgtpu.infer` accepts
+    either.  With use_ema=True, EMA params are preferred when present.
+    extra: the free-form stats payload ({} if the checkpoint predates it).
     """
     payload = _ckptr().restore(resolve(path_or_dir))
     params = payload.get("ema_params") if use_ema else None
     params = params if params is not None else payload["params"]
     params = jax.tree.map(np.asarray, params)
     if "batch_stats" in payload:
-        return {"params": params,
-                "batch_stats": jax.tree.map(np.asarray,
-                                            payload["batch_stats"])}
-    return params
+        params = {"params": params,
+                  "batch_stats": jax.tree.map(np.asarray,
+                                              payload["batch_stats"])}
+    extra = {k: np.asarray(v) for k, v in (payload.get("extra") or {}).items()}
+    return params, extra
+
+
+def restore_extra(path_or_dir: str) -> dict:
+    """The `extra` stats payload alone.  NOTE: this restores the whole
+    checkpoint — inference consumers should use `restore_bundle` to avoid a
+    second full read."""
+    return restore_bundle(path_or_dir)[1]
+
+
+def restore_params(path_or_dir: str, use_ema: bool = False) -> dict:
+    """Inference-weights load (see restore_bundle for the params contract)."""
+    return restore_bundle(path_or_dir, use_ema=use_ema)[0]

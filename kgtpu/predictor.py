@@ -43,14 +43,16 @@ class Predictor:
     def from_checkpoint(cls, path: str, cfg: Config | None = None,
                         use_ema: bool = False) -> "Predictor":
         cfg = cfg or Config()
-        params = ckpt.restore_params(path, use_ema=use_ema)
-        extra = ckpt.restore_extra(path)
+        params, extra = ckpt.restore_bundle(path, use_ema=use_ema)
         side = float(extra.get("max_gt_box_side_px", 0.0))
-        if side > 0 and cfg.group.max_box_size >= 1e9:
+        train_canvas = float(extra.get("train_input_size", 0.0))
+        if side > 0 and train_canvas > 0 and cfg.group.max_box_size >= 1e9:
+            # stats are in train-canvas pixels; rescale to this canvas
+            side_here = side * cfg.infer.input_size / train_canvas
             cfg = dataclasses.replace(
                 cfg, group=dataclasses.replace(
                     cfg.group,
-                    max_box_size=1.5 * side / cfg.data.stride))
+                    max_box_size=1.5 * side_here / cfg.data.stride))
         return cls(cfg, params)
 
     def predict(self, image: np.ndarray, score_thresh: float | None = None
@@ -75,13 +77,15 @@ class Predictor:
         valid = np.asarray(out["valid"][0])
         if score_thresh is not None:
             valid = valid & (scores >= score_thresh)
-        # label map back to original resolution (nearest keeps ids intact),
-        # with score-filtered instances removed so map and boxes agree
+        # label map back to original resolution (nearest keeps ids intact).
+        # Renumber so id k+1 indexes row k of the compacted boxes/scores/
+        # masks arrays: filtered/suppressed slots leave holes in `valid`,
+        # so raw slot ids would misindex the compacted outputs.
         import cv2
         lab = np.asarray(out["label_map"][0]).astype(np.int32)
         lut = np.zeros(len(valid) + 1, np.int32)
-        lut[1:][valid] = 1
-        lab = np.where(lut[lab] > 0, lab, 0).astype(np.uint16)
+        lut[1:][valid] = np.arange(1, int(valid.sum()) + 1)
+        lab = lut[lab].astype(np.uint16)
         span_h, span_w = round(h0 / scale), round(w0 / scale)
         lab = cv2.resize(lab[:span_h, :span_w], (w0, h0),
                          interpolation=cv2.INTER_NEAREST).astype(np.int32)

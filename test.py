@@ -48,18 +48,22 @@ def main() -> None:
     from kgtpu.infer import build_infer_fn, build_multiscale_fn
     from kgtpu.models import KGNet, required_divisor
 
+    tiled = getattr(args, "tiled", False)
     divisor = required_divisor(cfg.model)
-    if cfg.infer.input_size % divisor:
+    # in tiled mode the network sees tile_size² tiles; only that side must
+    # be divisible (the slide canvas itself has no constraint)
+    side_checked = cfg.infer.tile_size if tiled else cfg.infer.input_size
+    side_flag = "--tile_size" if tiled else "--input_size"
+    if side_checked % divisor:
         raise SystemExit(
-            f"--input_size {cfg.infer.input_size} must be divisible by "
+            f"{side_flag} {side_checked} must be divisible by "
             f"{divisor} for backbone {cfg.model.backbone} "
             f"(hg_depth {cfg.model.hg_depth}); TTA scale sides are rounded "
             f"to multiples automatically")
 
     if cfg.infer.weights:
-        params = checkpoint.restore_params(cfg.infer.weights,
-                                           use_ema=getattr(args, "use_ema",
-                                                           False))
+        params, ck_extra = checkpoint.restore_bundle(
+            cfg.infer.weights, use_ema=getattr(args, "use_ema", False))
         # fail fast + clearly on structure mismatch (wrong --backbone/--norm
         # flags for this checkpoint, or a checkpoint from an older layout)
         expect = train_lib.create_train_state(cfg, jax.random.PRNGKey(0))
@@ -80,17 +84,27 @@ def main() -> None:
         log.info("loaded weights from %s%s", cfg.infer.weights,
                  " (EMA)" if getattr(args, "use_ema", False) else "")
         # derive the grouper's size prior from the checkpoint's dataset
-        # stats unless the user set --max_box_size explicitly
+        # stats unless the user set --max_box_size explicitly; the stored
+        # side is in TRAIN-canvas pixels — rescale to the inference canvas
         if getattr(args, "max_box_size", 0) == 0:
-            extra = checkpoint.restore_extra(cfg.infer.weights)
-            side = float(extra.get("max_gt_box_side_px", 0.0))
-            if side > 0:
-                cap = 1.5 * side / cfg.data.stride
+            side = float(ck_extra.get("max_gt_box_side_px", 0.0))
+            train_canvas = float(ck_extra.get("train_input_size", 0.0))
+            if side > 0 and train_canvas > 0:
+                canvas = (cfg.infer.tile_size if tiled
+                          else cfg.infer.input_size)
+                # tiles crop (not resize) the slide, so the object scale on
+                # a tile follows the SLIDE canvas
+                if tiled:
+                    canvas = cfg.infer.input_size
+                side_here = side * canvas / train_canvas
+                cap = 1.5 * side_here / cfg.data.stride
                 cfg = dataclasses.replace(
                     cfg, group=dataclasses.replace(cfg.group,
                                                    max_box_size=cap))
                 log.info("size prior from checkpoint stats: max box side "
-                         "%.1f stride px (1.5 x %.0f px GT max)", cap, side)
+                         "%.1f stride px (1.5 x %.0f px GT max, rescaled "
+                         "%sx%s -> %s)", cap, side, train_canvas,
+                         train_canvas, canvas)
     else:
         log.warning("no --weights given: running with random init")
         params = train_lib.create_train_state(cfg, jax.random.PRNGKey(0)).params
@@ -98,7 +112,6 @@ def main() -> None:
     model = KGNet(cfg=cfg.model)
     scales = cfg.infer.test_scales
     multiscale = tuple(scales) != (1.0,) or cfg.infer.test_flip
-    tiled = getattr(args, "tiled", False)
     if tiled and multiscale:
         raise SystemExit("--tiled and multi-scale --test_scales are exclusive")
     if tiled:
@@ -173,19 +186,20 @@ def main() -> None:
         done = 0
         for start in range(0, len(ds), bs):
             idxs = list(range(start, min(start + bs, len(ds))))
+            raws = [ds[i] for i in idxs]      # one dataset read per image
             imgs = {}
             for sc in scales:
                 side = max(round(base * sc / divisor), 1) * divisor
                 dcfg = dataclasses.replace(cfg.data, input_size=side)
                 stack = [
-                    _prepare_sample(ds[i], dcfg, augment=False, rng=rng,
+                    _prepare_sample(raw, dcfg, augment=False, rng=rng,
                                     image_only=True)["image"]
-                    for i in idxs]
+                    for raw in raws]
                 imgs[f"{sc:g}"] = np.stack(
                     stack + [stack[-1]] * (bs - len(stack)))
             out = infer(params, imgs)
             for k, i in enumerate(idxs):
-                iid = ds[i].get("id", f"img_{i:05d}")
+                iid = raws[k].get("id", f"img_{i:05d}")
                 summary.append(write_result(
                     iid, np.asarray(out["label_map"][k]),
                     np.asarray(out["boxes"][k]),
@@ -201,15 +215,16 @@ def main() -> None:
         done = 0
         for start in range(0, len(ds), bs):
             idxs = list(range(start, min(start + bs, len(ds))))
+            raws = [ds[i] for i in idxs]      # one dataset read per image
             samples = [
-                _prepare_sample(ds[i], cfg.data, augment=False, rng=rng,
+                _prepare_sample(raw, cfg.data, augment=False, rng=rng,
                                 image_only=True)
-                for i in idxs]
+                for raw in raws]
             imgs = np.stack([s["image"] for s in samples]
                             + [samples[-1]["image"]] * (bs - len(samples)))
             out = infer(params, imgs)
             for k, i in enumerate(idxs):
-                iid = ds[i].get("id", f"img_{i:05d}")
+                iid = raws[k].get("id", f"img_{i:05d}")
                 summary.append(write_result(
                     iid, np.asarray(out["label_map"][k]),
                     np.asarray(out["boxes"][k]),

@@ -16,8 +16,10 @@ def ckpt_dir(tmp_path_factory):
     cfg = tiny_test_config()
     state = train_lib.create_train_state(cfg, jax.random.PRNGKey(0))
     d = str(tmp_path_factory.mktemp("w"))
-    checkpoint.save(d, epoch=0, state=state,
-                    extra={"max_gt_box_side_px": np.asarray(40.0, np.float32)})
+    checkpoint.save(
+        d, epoch=0, state=state,
+        extra={"max_gt_box_side_px": np.asarray(40.0, np.float32),
+               "train_input_size": np.asarray(128.0, np.float32)})
     return d
 
 

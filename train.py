@@ -44,9 +44,17 @@ def main() -> None:
             f"{divisor} for backbone {cfg.model.backbone} "
             f"(hg_depth {cfg.model.hg_depth})")
 
+    import dataclasses
+
     tcfg = cfg.train
     ds = build_dataset(cfg.data, split="train")
     steps_per_epoch = tcfg.steps_per_epoch or max(len(ds) // tcfg.batch_size, 1)
+    # write the derived value back so schedule construction sees it (the
+    # cosine schedule needs total steps; with steps_per_epoch=0 it would
+    # silently fall back to constant)
+    cfg = dataclasses.replace(
+        cfg, train=dataclasses.replace(tcfg, steps_per_epoch=steps_per_epoch))
+    tcfg = cfg.train
     log.info("dataset=%s n=%d steps/epoch=%d devices=%s",
              cfg.data.dataset, len(ds), steps_per_epoch,
              [d.platform for d in jax.devices()])
@@ -89,9 +97,13 @@ def main() -> None:
                             bx[v > 0, 3] - bx[v > 0, 1])
             sides.append(wh.max())
     max_side = float(np.max(sides)) if sides else 0.0
-    data_stats = {"max_gt_box_side_px": np.asarray(max_side, np.float32)}
-    log.info("dataset stats: max GT box side %.1f px (stored in checkpoints)",
-             max_side)
+    data_stats = {
+        "max_gt_box_side_px": np.asarray(max_side, np.float32),
+        # consumers rescale the size prior when inferring at another canvas
+        "train_input_size": np.asarray(cfg.data.input_size, np.float32),
+    }
+    log.info("dataset stats: max GT box side %.1f px at canvas %d "
+             "(stored in checkpoints)", max_side, cfg.data.input_size)
 
     for epoch in range(start_epoch, tcfg.num_epochs):
         it = batch_iterator(ds, cfg.data, tcfg.batch_size, augment=True,
