@@ -1,0 +1,73 @@
+"""CLI argument-parsing / config-building smoke tests (C1).
+
+The flag surface keeps growing; these catch wiring regressions (a flag that
+parses but never reaches the config) without running the heavy CLIs.
+"""
+
+from kgtpu.config import (
+    build_eval_parser,
+    build_test_parser,
+    build_train_parser,
+    config_from_test_args,
+    config_from_train_args,
+)
+
+
+def test_train_flags_reach_config():
+    args = build_train_parser().parse_args([
+        "--dataset", "synthetic_crowded", "--input_size", "256",
+        "--backbone", "resnet_fpn", "--norm", "batch", "--decode", "centernet",
+        "--batch_size", "4", "--lr", "1e-3", "--lr_schedule", "cosine",
+        "--num_epochs", "7", "--steps_per_epoch", "11", "--ema_decay", "0.99",
+        "--remat", "--ngpus", "4", "--seed", "5", "--K", "64",
+        "--max_detections", "96", "--conf_thresh", "0.2", "--nms_iou", "0.4",
+        "--max_box_size", "80", "--save_dir", "/tmp/w", "--resume",
+    ])
+    cfg = config_from_train_args(args)
+    assert cfg.data.dataset == "synthetic_crowded"
+    assert cfg.data.input_size == 256
+    assert cfg.model.backbone == "resnet_fpn"
+    assert cfg.model.norm == "batch"
+    assert cfg.model.use_wh_head and cfg.group.method == "centernet"
+    assert cfg.model.remat
+    assert cfg.train.batch_size == 4 and cfg.train.lr == 1e-3
+    assert cfg.train.lr_schedule == "cosine"
+    assert cfg.train.num_epochs == 7 and cfg.train.steps_per_epoch == 11
+    assert cfg.train.ema_decay == 0.99
+    assert cfg.train.num_devices == 4 and cfg.train.seed == 5
+    assert cfg.group.max_peaks_per_class == 64
+    assert cfg.group.max_detections == 96
+    assert cfg.group.max_box_size == 80 / cfg.data.stride
+    assert cfg.group.score_thresh == 0.2 and cfg.group.nms_iou == 0.4
+    assert cfg.train.save_dir == "/tmp/w" and cfg.train.resume == "latest"
+
+
+def test_test_flags_reach_config():
+    args = build_test_parser().parse_args([
+        "--dataset", "dsb2018", "--data_dir", "/d", "--weights", "/w",
+        "--use_ema", "--test_scales", "0.75,1.0,1.25", "--test_flip",
+        "--batch_size", "16", "--save_vis", "--tiled", "--tile_size", "256",
+        "--tile_overlap", "96", "--input_size", "1024", "--norm", "batch",
+    ])
+    cfg = config_from_test_args(args)
+    assert cfg.data.dataset == "dsb2018" and cfg.data.data_dir == "/d"
+    assert cfg.infer.weights == "/w"
+    assert cfg.infer.test_scales == (0.75, 1.0, 1.25)
+    assert cfg.infer.test_flip
+    assert cfg.infer.batch_size == 16
+    assert cfg.infer.tile_size == 256 and cfg.infer.tile_overlap == 96
+    assert cfg.infer.input_size == 1024
+    assert cfg.model.norm == "batch"
+    assert args.use_ema and args.save_vis and args.tiled
+
+
+def test_max_box_size_zero_means_unlimited():
+    args = build_test_parser().parse_args([])
+    cfg = config_from_test_args(args)
+    assert cfg.group.max_box_size >= 1e9
+
+
+def test_eval_parser():
+    args = build_eval_parser().parse_args(
+        ["--pred_dir", "/p", "--protocol", "coco"])
+    assert args.pred_dir == "/p" and args.protocol == "coco"
