@@ -21,7 +21,6 @@ from __future__ import annotations
 
 import argparse
 import dataclasses
-from typing import Sequence
 
 # Keypoint class indices (OPEN-1 resolution; fixed across the whole framework).
 KP_TL, KP_TR, KP_BL, KP_BR, KP_CENTER = 0, 1, 2, 3, 4

@@ -21,7 +21,6 @@ base-scale features.
 
 from __future__ import annotations
 
-import functools
 from typing import Callable
 
 import jax
