@@ -37,3 +37,31 @@ def test_checked_decode_has_no_oob_or_nan():
     err, out = jax.jit(g)(hm, reg)
     err.throw()   # raises if any indexed gather was OOB or NaN appeared
     assert out.scores.shape == (5, 8)
+
+
+def test_checked_group_and_paste_clean():
+    """The grouper and paste under checkify: no OOB gathers / NaNs even on
+    adversarial random peaks and degenerate boxes."""
+    from kgtpu.config import GroupConfig
+    from kgtpu.ops.decode import Peaks
+    from kgtpu.ops.group import group_keypoints
+    from kgtpu.ops.roi import paste_masks
+
+    rng = np.random.default_rng(1)
+    k = 16
+    peaks = Peaks(
+        scores=jnp.asarray(rng.uniform(0, 1, (5, k)), jnp.float32),
+        coords=jnp.asarray(rng.uniform(-2, 34, (5, k, 2)), jnp.float32),
+        indices=jnp.zeros((5, k), jnp.int32))
+    cfg = GroupConfig(max_peaks_per_class=k, max_detections=8)
+    err, dets = jax.jit(checked(lambda p: group_keypoints(p, cfg)))(peaks)
+    err.throw()
+
+    masks = jnp.asarray(rng.uniform(0, 1, (8, 8, 8)), jnp.float32)
+    boxes = jnp.asarray(
+        np.concatenate([rng.uniform(-4, 30, (7, 4)),
+                        [[5.0, 5.0, 5.0, 5.0]]]), jnp.float32)  # degenerate
+    err2, _ = jax.jit(checked(
+        lambda m, b: paste_masks(m, b, jnp.ones(8), jnp.ones(8, bool),
+                                 32, 32)))(masks, boxes)
+    err2.throw()
