@@ -32,6 +32,10 @@ class ModelConfig:
     """Backbone + heads.  [SURVEY.md C5-C7]"""
 
     backbone: str = "hourglass"        # "hourglass" | "hourglass_lite" | "resnet_fpn"
+                                       # (_lite is the same architecture — a
+                                       # naming convention for runs that pair
+                                       # it with smaller width/depth fields,
+                                       # e.g. tiny_test_config)
     num_stacks: int = 2                # stacked-hourglass depth (1 for lite)
     base_channels: int = 128           # stem width (hourglass: feature width)
     hg_depth: int = 4                  # downsampling levels inside one hourglass
