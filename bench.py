@@ -34,7 +34,7 @@ def main() -> None:
     from kgtpu.models import KGNet
     from kgtpu.train_lib import create_train_state
 
-    batch = int(os.environ.get("KGTPU_BENCH_BATCH", "16"))
+    batch = int(os.environ.get("KGTPU_BENCH_BATCH", "32"))
     iters = int(os.environ.get("KGTPU_BENCH_ITERS", "10"))
 
     cfg = Config()
