@@ -57,7 +57,17 @@ def main() -> None:
         out = infer(params, imgs)
         return jnp.sum(out["label_map"]) + jnp.sum(out["scores"])
 
-    float(reduced(state.params, images))          # compile + warm
+    # XLA cost analysis of the exact program being timed → FLOPs/img and MFU
+    # (SURVEY.md §6: throughput is THE metric; MFU says how far from the
+    # hardware ceiling it runs).  lower().compile() shares the jit cache with
+    # the timed calls below, so this costs one compile total.
+    compiled = reduced.lower(state.params, images).compile()
+    ca = compiled.cost_analysis() or {}
+    if isinstance(ca, (list, tuple)):
+        ca = ca[0] if ca else {}
+    flops_img = float(ca.get("flops", 0.0)) / batch
+
+    float(reduced(state.params, images))          # warm (compile done above)
     float(reduced(state.params, images))
 
     t0 = time.perf_counter()
@@ -73,12 +83,24 @@ def main() -> None:
         if base:
             vs = img_s / base
 
+    # bf16 peak FLOP/s by device generation (MXU compute path is bf16)
+    kind = getattr(jax.devices()[0], "device_kind", "").lower()
+    peak = None
+    for tag, p in (("v5 lite", 197e12), ("v5e", 197e12), ("v5p", 459e12),
+                   ("v4", 275e12), ("v6", 918e12)):
+        if tag in kind:
+            peak = p
+            break
+    mfu = (flops_img * img_s / peak) if (peak and flops_img) else None
+
     print(json.dumps({
         "metric": "e2e_images_per_sec_512",
         "value": round(img_s, 3),
         "unit": "img/s",
         "vs_baseline": round(vs, 3),
         "batch": batch,
+        "gflops_per_img": round(flops_img / 1e9, 2),
+        "mfu": round(mfu, 4) if mfu is not None else None,
         "backend": jax.default_backend(),
         "device": str(jax.devices()[0]),
     }))

@@ -3,8 +3,11 @@
 The reference saves `torch.save(state_dict)` per epoch into a weights dir and
 resumes/loads by epoch-numbered file.  Same discipline here — epoch-numbered
 subdirectories (`model_<epoch>`) under save_dir, written atomically by orbax
-— plus the full train state ({params, opt_state, step, epoch, rng}) so
-`--resume` continues exactly.  Preemption recovery = restart + `--resume`
+— plus the full train state ({params, opt_state, step, epoch; EMA and
+batch_stats when enabled}) so `--resume` continues exactly.  No RNG key is
+stored: train.py re-derives per-step keys as fold_in(seed, epoch*100000 +
+step), so resume determinism comes from the epoch number alone.
+Preemption recovery = restart + `--resume`
 (single-host; no elastic layer needed — SURVEY.md §5).
 """
 

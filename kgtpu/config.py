@@ -302,6 +302,16 @@ def config_from_train_args(a: argparse.Namespace) -> Config:
 def config_from_test_args(a: argparse.Namespace) -> Config:
     c = Config()
     scales = tuple(float(s) for s in str(a.test_scales).split(",") if s)
+    if not scales:
+        raise SystemExit("--test_scales must list at least one scale")
+    if 1.0 not in scales:
+        # the TTA merge runs the mask stage on base-scale (1.0) features and
+        # test.py indexes the 1.0 image stack; without this check the
+        # failure surfaces as an opaque trace-time error (or, under
+        # python -O, a KeyError) deep inside build_multiscale_fn
+        raise SystemExit(
+            f"--test_scales {a.test_scales!r} must include 1.0 (the base "
+            "scale that the mask stage and the TTA merge are anchored to)")
     return Config(
         model=dataclasses.replace(c.model, backbone=a.backbone,
                                   num_stacks=a.num_stacks, norm=a.norm,

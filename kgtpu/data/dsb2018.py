@@ -30,11 +30,27 @@ class DSB2018:
             d for d in os.listdir(data_dir)
             if os.path.isdir(os.path.join(data_dir, d, "images"))
         )
+        def bucket(s):
+            h = int(hashlib.md5(s.encode()).hexdigest(), 16) % 1000
+            return "val" if h < val_fraction * 1000 else "train"
         if split in ("train", "val"):
-            def bucket(s):
-                h = int(hashlib.md5(s.encode()).hexdigest(), 16) % 1000
-                return "val" if h < val_fraction * 1000 else "train"
             ids = [i for i in ids if bucket(i) == split]
+        elif split == "test":
+            # A true stage1_test dir has no masks/.  If masks ARE present the
+            # user pointed test.py/eval.py at a TRAINING directory; returning
+            # all ids would silently evaluate the model on its own training
+            # images (inflated AP).  Use the held-out val partition instead.
+            has_masks = any(
+                os.path.isdir(os.path.join(data_dir, i, "masks")) for i in ids)
+            if has_masks:
+                import warnings
+                warnings.warn(
+                    f"DSB2018 split='test' on {data_dir}: masks/ present, so "
+                    "this looks like a TRAINING directory — evaluating on the "
+                    "held-out val partition instead of all ids to avoid "
+                    "train-set leakage. Point --data_dir at stage1_test for "
+                    "a full test run.", stacklevel=2)
+                ids = [i for i in ids if bucket(i) == "val"]
         self.data_dir = data_dir
         self.ids = ids
 

@@ -14,6 +14,7 @@ or
 from __future__ import annotations
 
 import glob
+import hashlib
 import os
 
 import cv2
@@ -32,9 +33,35 @@ class NeuralCells:
             p for p in glob.glob(os.path.join(img_dir, "*"))
             if p.lower().endswith(_IMG_EXTS)
         )
+        # id-stable hash split (same scheme as dsb2018.py): membership
+        # depends only on the file's own id, so adding/removing files
+        # never reshuffles which existing ids are train vs val
+        def bucket(s):
+            h = int(hashlib.md5(s.encode()).hexdigest(), 16) % 1000
+            return "val" if h < val_fraction * 1000 else "train"
+
+        def stem(p):
+            return os.path.splitext(os.path.basename(p))[0]
+
         if split in ("train", "val"):
-            nval = max(1, int(len(paths) * val_fraction))
-            paths = paths[:nval] if split == "val" else paths[nval:]
+            paths = [p for p in paths if bucket(stem(p)) == split]
+        elif split == "test":
+            # same train-leak guard as dsb2018.py: if any image has labels,
+            # this is a TRAINING dir — evaluate the held-out val partition,
+            # not the images the model trained on
+            def labeled(p):
+                return (os.path.isfile(
+                            os.path.join(data_dir, "labels", stem(p) + ".png"))
+                        or os.path.isdir(
+                            os.path.join(data_dir, "masks", stem(p))))
+            if any(labeled(p) for p in paths):
+                import warnings
+                warnings.warn(
+                    f"NeuralCells split='test' on {data_dir}: labels present, "
+                    "so this looks like a TRAINING directory — evaluating on "
+                    "the held-out val partition instead of all ids to avoid "
+                    "train-set leakage.", stacklevel=2)
+                paths = [p for p in paths if bucket(stem(p)) == "val"]
         self.data_dir = data_dir
         self.paths = paths
 

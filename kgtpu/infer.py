@@ -132,12 +132,26 @@ def build_multiscale_fn(model: KGNet, cfg: Config) -> Callable:
     scales = cfg.infer.test_scales
     base = cfg.infer.input_size
 
+    def _cfg_at(img_side: int) -> Config:
+        # the grouper's size cap (max_box_size, base-canvas stride units)
+        # must follow each scale's own stride grid: at scale 1.25 an object
+        # spans 1.25x more stride px, so an unscaled cap silently shrinks
+        # the intended headroom (1.5x -> 1.2x)
+        import dataclasses
+        if cfg.group.max_box_size <= 0 or img_side == base:
+            return cfg
+        return dataclasses.replace(
+            cfg, group=dataclasses.replace(
+                cfg.group,
+                max_box_size=cfg.group.max_box_size * img_side / base))
+
     def _per_image(params, images_one: dict):
         all_dets = []
         base_feat = None
         for sc in scales:
             img = images_one[f"{sc:g}"]
-            dets, feat = _detect_single(model, cfg, params, img)
+            cfg_sc = _cfg_at(img.shape[0])
+            dets, feat = _detect_single(model, cfg_sc, params, img)
             if sc == 1.0:
                 base_feat = feat
             # map boxes from this scale's stride grid to base-scale stride grid
@@ -148,7 +162,7 @@ def build_multiscale_fn(model: KGNet, cfg: Config) -> Callable:
             if cfg.infer.test_flip:
                 # horizontal-flip TTA at this scale: detect on the mirrored
                 # image, un-mirror the boxes (x' = W_stride - x, swapped)
-                fdets, _ = _detect_single(model, cfg, params, img[:, ::-1])
+                fdets, _ = _detect_single(model, cfg_sc, params, img[:, ::-1])
                 ws = img.shape[1] / cfg.data.stride
                 fb = fdets.boxes
                 unflipped = jnp.stack(

@@ -79,6 +79,12 @@ def decode_peaks(
         xs = xs + off[..., 0]
         ys = ys + off[..., 1]
 
+    # sub-pixel offsets are nominally in [0, 1) but the head is unbounded;
+    # clamp into the map so a wild regression can never push a peak outside
+    # the heatmap frame (downstream grouping/ROI assume in-frame coords)
+    xs = jnp.clip(xs, 0.0, w - 1.0)
+    ys = jnp.clip(ys, 0.0, h - 1.0)
+
     coords = jnp.stack([xs, ys], axis=-1)                 # [C, K, 2]
     return Peaks(scores=scores, coords=coords, indices=idx)
 

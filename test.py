@@ -102,9 +102,9 @@ def main() -> None:
                     cfg, group=dataclasses.replace(cfg.group,
                                                    max_box_size=cap))
                 log.info("size prior from checkpoint stats: max box side "
-                         "%.1f stride px (1.5 x %.0f px GT max, rescaled "
-                         "%sx%s -> %s)", cap, side, train_canvas,
-                         train_canvas, canvas)
+                         "%.1f stride px (1.5 x %.0f px GT max, canvas "
+                         "rescaled %.0f -> %.0f)", cap, side, train_canvas,
+                         canvas)
     else:
         log.warning("no --weights given: running with random init")
         params = train_lib.create_train_state(cfg, jax.random.PRNGKey(0)).params

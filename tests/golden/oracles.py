@@ -87,6 +87,9 @@ def decode_peaks(hm, reg, k, apply_sigmoid=True, window=3):
         if reg is not None:
             ox = ox + reg[ys, xs, 0]
             oy = oy + reg[ys, xs, 1]
+            # the op clamps sub-pixel coords into the map frame
+            ox = np.clip(ox, 0.0, w - 1.0)
+            oy = np.clip(oy, 0.0, h - 1.0)
         coords[cc, :, 0] = ox
         coords[cc, :, 1] = oy
         indices[cc] = order

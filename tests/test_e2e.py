@@ -1,5 +1,12 @@
-"""Fixed-seed end-to-end smoke (SURVEY.md §4): train a tiny model on
-synthetic blobs, run the full two-stage inference, assert AP above a floor."""
+"""Fixed-seed end-to-end learning gate (SURVEY.md §4): train a tiny model on
+synthetic blobs, then assert AP floors for the single-scale, TTA, and tiled
+inference paths.  Runs UN-marked in the default "not slow" suite so a
+regression that silently breaks learning (loss scaling, target rendering,
+grouper thresholds) fails the advertised gate — VERDICT.md round-1 item 3.
+
+The model is trained ONCE per module (the expensive part is XLA compile, not
+the 150 tiny steps); each path then evaluates the same weights.
+"""
 
 import dataclasses
 
@@ -9,43 +16,118 @@ import pytest
 
 from kgtpu import evaluate, train_lib
 from kgtpu.config import tiny_test_config
-from kgtpu.data import build_dataset, batch_iterator
+from kgtpu.data import batch_iterator, build_dataset
 from kgtpu.data.loader import _prepare_sample
-from kgtpu.infer import build_infer_fn
+from kgtpu.infer import build_infer_fn, build_multiscale_fn, build_tiled_infer_fn
 from kgtpu.models import KGNet
 
+SIZE = 96          # divisible by hourglass_lite's required 16
+N_EVAL = 4
 
-@pytest.mark.slow
-def test_train_then_infer_ap_floor():
+
+def _cfg():
     cfg = tiny_test_config()
-    cfg = dataclasses.replace(
-        cfg, train=dataclasses.replace(cfg.train, lr=1e-3, lr_warmup_steps=50))
+    return dataclasses.replace(
+        cfg,
+        data=dataclasses.replace(cfg.data, input_size=SIZE, max_instances=12),
+        train=dataclasses.replace(cfg.train, lr=2e-3, lr_warmup_steps=20),
+        infer=dataclasses.replace(cfg.infer, input_size=SIZE),
+    )
+
+
+@pytest.fixture(scope="module")
+def trained():
+    cfg = _cfg()
     rng = jax.random.PRNGKey(0)
     state = train_lib.create_train_state(cfg, rng)
     model = KGNet(cfg=cfg.model)
     step = train_lib.make_train_step(model, cfg)
-
     ds = build_dataset(cfg.data)
     first = last = None
     for i, batch in enumerate(
-            batch_iterator(ds, cfg.data, 2, steps=300, seed=0)):
+            batch_iterator(ds, cfg.data, 2, steps=150, seed=0)):
         state, m = step(state, batch, jax.random.fold_in(rng, i))
         if first is None:
             first = float(m["loss"])
         last = float(m["loss"])
     assert last < 0.6 * first, f"no learning: {first} -> {last}"
-
     val = build_dataset(cfg.data, split="val")
+    return cfg, model, state, val
+
+
+def _eval_single(cfg, model, state, val):
     infer = build_infer_fn(model, cfg)
     nprng = np.random.default_rng(0)
     recs = []
-    for i in range(6):
+    for i in range(N_EVAL):
         s = _prepare_sample(val[i], cfg.data, augment=False, rng=nprng)
         out = infer(state.params, s["image"][None])
         recs.append({"pred_label": np.asarray(out["label_map"][0]),
                      "scores": np.asarray(out["scores"][0]),
                      "gt_label": s["label_map"]})
+    return recs
+
+
+def test_single_scale_ap_floor(trained):
+    cfg, model, state, val = trained
+    recs = _eval_single(cfg, model, state, val)
     res = evaluate.evaluate_dsb2018(recs)
     assert res["mAP_dsb2018"] > 0.15, res
     coco = evaluate.evaluate_coco(recs)
-    assert coco["AP50"] > 0.2, coco
+    assert coco["AP50"] > 0.3, coco
+
+
+def test_tta_at_least_single_scale(trained):
+    cfg, model, state, val = trained
+    # flip-only TTA (scales=(1.0,)) keeps compile cost bounded while still
+    # exercising the cross-variant merge path end to end
+    cfg_tta = dataclasses.replace(
+        cfg, infer=dataclasses.replace(cfg.infer, test_flip=True))
+    infer = build_multiscale_fn(model, cfg_tta)
+    nprng = np.random.default_rng(0)
+    recs = []
+    n_tta = n_single = 0
+    single_recs = _eval_single(cfg, model, state, val)
+    for i in range(N_EVAL):
+        s = _prepare_sample(val[i], cfg.data, augment=False, rng=nprng)
+        out = infer(state.params, {"1": s["image"]})
+        recs.append({"pred_label": np.asarray(out["label_map"]),
+                     "scores": np.asarray(out["scores"]),
+                     "gt_label": s["label_map"]})
+        n_tta += int(np.asarray(out["valid"]).sum())
+        n_single += int((single_recs[i]["pred_label"].max()))
+    tta = evaluate.evaluate_coco(recs)
+    single = evaluate.evaluate_coco(single_recs)
+    assert tta["AP50"] > 0.3, tta
+    # broken flip un-mirroring would place every flip detection at a mirrored
+    # ghost position: NMS can't merge them, so the detection count ~doubles
+    # and AP collapses — both are asserted here (the exact-AP comparison is
+    # too noisy on an under-trained tiny model to gate on)
+    assert n_tta <= 1.5 * max(n_single, 1), (n_tta, n_single)
+    assert tta["AP_coco"] >= single["AP_coco"] - 0.08, (tta, single)
+
+
+def test_tiled_ap_floor(trained):
+    cfg, model, state, val = trained
+    cfg_t = dataclasses.replace(
+        cfg, infer=dataclasses.replace(cfg.infer, tile_size=64,
+                                       tile_overlap=16))
+    tiled = build_tiled_infer_fn(model, cfg_t, (SIZE, SIZE), tile_batch=4)
+    d = cfg.group.max_detections
+    nprng = np.random.default_rng(0)
+    recs = []
+    for i in range(2):
+        s = _prepare_sample(val[i], cfg.data, augment=False, rng=nprng)
+        out = tiled(state.params, s["image"])
+        lab = np.asarray(out["label_map"])
+        scores_full = np.asarray(out["scores"])
+        ids = np.unique(lab)
+        ids = ids[ids > 0].astype(np.int32)
+        relab = np.zeros_like(lab)
+        for k, oid in enumerate(ids):
+            relab[lab == oid] = k + 1
+        recs.append({"pred_label": relab,
+                     "scores": scores_full[ids - 1],
+                     "gt_label": s["label_map"]})
+    coco = evaluate.evaluate_coco(recs)
+    assert coco["AP50"] > 0.25, coco

@@ -84,26 +84,39 @@ def main() -> None:
     os.makedirs(tcfg.save_dir, exist_ok=True)
 
     # dataset size statistics, stored with every checkpoint: test.py derives
-    # the grouper's ghost-killing size prior from them (DESIGN.md rule 3)
+    # the grouper's ghost-killing size prior from them (DESIGN.md rule 3).
+    # Scanned over the FULL dataset — a partial scan in dataset order can
+    # under-estimate the max on heterogeneous data (e.g. DSB2018's ~10x
+    # nuclei-scale spread) and silently make larger instances undetectable.
+    # Boxes come from the RAW label map (native single-pass sweep) and sides
+    # are rescaled to the train canvas, so no image resize is needed.
     import numpy as np
 
-    from kgtpu.data.transforms import boxes_from_label_map, resize_sample
+    from kgtpu.data.transforms import boxes_from_label_map
     sides = []
-    for i in range(min(len(ds), 32)):
-        s = resize_sample(ds[i], cfg.data.input_size)
-        bx, v, _ = boxes_from_label_map(s["label_map"], cfg.data.max_instances)
+    t_stats = time.time()
+    for i in range(len(ds)):
+        lab = ds[i]["label_map"]
+        # truncation to max_instances keeps the BIGGEST instances, so the
+        # max side is preserved exactly
+        bx, v, _ = boxes_from_label_map(lab, cfg.data.max_instances)
         if v.sum():
             wh = np.maximum(bx[v > 0, 2] - bx[v > 0, 0],
                             bx[v > 0, 3] - bx[v > 0, 1])
-            sides.append(wh.max())
-    max_side = float(np.max(sides)) if sides else 0.0
+            sides.extend(wh * (cfg.data.input_size / max(lab.shape)))
+    sides = np.asarray(sides, np.float32)
+    max_side = float(sides.max()) if sides.size else 0.0
+    p99_side = float(np.percentile(sides, 99)) if sides.size else 0.0
     data_stats = {
         "max_gt_box_side_px": np.asarray(max_side, np.float32),
+        "p99_gt_box_side_px": np.asarray(p99_side, np.float32),
         # consumers rescale the size prior when inferring at another canvas
         "train_input_size": np.asarray(cfg.data.input_size, np.float32),
     }
-    log.info("dataset stats: max GT box side %.1f px at canvas %d "
-             "(stored in checkpoints)", max_side, cfg.data.input_size)
+    log.info("dataset stats over all %d images (%.1fs): GT box side "
+             "max %.1f / p99 %.1f px at canvas %d (stored in checkpoints)",
+             len(ds), time.time() - t_stats, max_side, p99_side,
+             cfg.data.input_size)
 
     for epoch in range(start_epoch, tcfg.num_epochs):
         it = batch_iterator(ds, cfg.data, tcfg.batch_size, augment=True,
