@@ -9,7 +9,9 @@ Every semantic choice left OPEN by SURVEY.md §8 is a field here, with the
 designated default, so a later parity pass is a config change, not a rewrite:
 
   OPEN-1  keypoint classes .... 5 = four box corners (TL,TR,BL,BR) + center
-  OPEN-2  wh/size head ........ off by default (offsets only), `use_wh_head`
+  OPEN-2  wh/size head ........ ON by default (`use_wh_head`): feeds the
+                                grouper's size-consistency pruning and the
+                                centernet decode; supervised at all 5 kp pixels
   OPEN-3  mask-head input ..... backbone features (ROI-cropped), joint training
   OPEN-5  AP protocol ......... DSB2018 mean-AP over IoU .5:.05:.95 (+COCO opt)
   OPEN-7  output stride ....... 4
@@ -41,7 +43,11 @@ class ModelConfig:
     hg_depth: int = 4                  # downsampling levels inside one hourglass
     head_channels: int = 128           # hidden width of the prediction heads
     num_kp_classes: int = NUM_KP_CLASSES
-    use_wh_head: bool = False          # OPEN-2: regress box w/h in addition to offsets
+    use_wh_head: bool = True           # OPEN-2: regress box w/h in addition to
+                                       # offsets.  On by default: the grouper's
+                                       # size-consistency pruning reads it
+                                       # (GroupConfig.size_prune) and the
+                                       # centernet decode needs it
     norm: str = "group"                # "group" | "batch"; group avoids sync-BN in DP
     # Mask head (stage 2).  OPEN-3: consumes ROI-cropped backbone features.
     roi_size: int = 32                 # crop size on the stride-4 feature map
@@ -92,10 +98,17 @@ class GroupConfig:
     center_tol: float = 0.35           # center must lie within tol * box diagonal
     edge_tol: float = 0.35             # TR/BL support tolerance, * box diagonal
     min_box_size: float = 2.0          # min width/height in stride-4 pixels
-    max_box_size: float = 1e9          # max width/height (stride px): crowded
-                                       #   scenes grow cross-cell ghost pairs
-                                       #   whose midpoint hits SOME center —
-                                       #   cap from data statistics
+    max_box_size: float = 1e9          # optional hard cap on width/height
+                                       #   (stride px); superseded by
+                                       #   size_prune, kept as a manual knob
+    size_prune: float = 3.0            # kill (TL, BR) pairs whose span exceeds
+                                       #   size_prune x the wh-head-predicted
+                                       #   size AT THE CORNER PEAKS.  This is
+                                       #   what stops cross-cell ghost pairs in
+                                       #   crowded scenes (whose midpoint hits
+                                       #   SOME center) without any dataset
+                                       #   statistics prior.  0 disables; needs
+                                       #   model.use_wh_head
     require_center: bool = True        # a box with no center support is dropped
     require_edges: bool = False        # also require TR and BL support > 0
     w_corner: float = 1.0              # score weights: corner pair mean,
@@ -207,9 +220,16 @@ def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--conf_thresh", type=float, default=0.15)
     p.add_argument("--nms_iou", type=float, default=0.5)
     p.add_argument("--max_box_size", type=float, default=0.0,
-                   help="max box side in INPUT pixels (0 = unlimited); set "
-                        "~1.5x your largest cell — kills cross-cell ghost "
-                        "pairs in crowded scenes (see DESIGN.md)")
+                   help="optional hard cap on box side in INPUT pixels "
+                        "(0 = unlimited); usually unnecessary — crowded-scene "
+                        "ghost pairs are pruned by --size_prune instead")
+    p.add_argument("--size_prune", type=float, default=3.0,
+                   help="kill (TL,BR) pairs spanning more than this multiple "
+                        "of the wh-head-predicted size at the corner peaks "
+                        "(0 disables; replaces the old dataset size prior)")
+    p.add_argument("--wh_head", type=int, default=1, choices=[0, 1],
+                   help="train/use the (w,h) size head (needed by "
+                        "--size_prune and --decode centernet)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--debug_nans", action="store_true",
                    help="enable jax_debug_nans (report the op producing "
@@ -278,7 +298,8 @@ def config_from_train_args(a: argparse.Namespace) -> Config:
     return Config(
         model=dataclasses.replace(c.model, backbone=a.backbone,
                                   num_stacks=a.num_stacks, norm=a.norm,
-                                  use_wh_head=(a.decode == "centernet"),
+                                  use_wh_head=(bool(a.wh_head)
+                                               or a.decode == "centernet"),
                                   remat=a.remat),
         data=dataclasses.replace(c.data, dataset=a.dataset, data_dir=a.data_dir,
                                  input_size=a.input_size),
@@ -287,6 +308,7 @@ def config_from_train_args(a: argparse.Namespace) -> Config:
                                   max_detections=a.max_detections,
                                   max_box_size=(a.max_box_size / c.data.stride
                                                 if a.max_box_size > 0 else 1e9),
+                                  size_prune=a.size_prune,
                                   score_thresh=a.conf_thresh, nms_iou=a.nms_iou),
         train=dataclasses.replace(c.train, batch_size=a.batch_size, lr=a.lr,
                                   lr_schedule=a.lr_schedule,
@@ -315,7 +337,8 @@ def config_from_test_args(a: argparse.Namespace) -> Config:
     return Config(
         model=dataclasses.replace(c.model, backbone=a.backbone,
                                   num_stacks=a.num_stacks, norm=a.norm,
-                                  use_wh_head=(a.decode == "centernet")),
+                                  use_wh_head=(bool(a.wh_head)
+                                               or a.decode == "centernet")),
         data=dataclasses.replace(c.data, dataset=a.dataset, data_dir=a.data_dir,
                                  input_size=a.input_size),
         group=dataclasses.replace(c.group, method=a.decode,
@@ -323,6 +346,7 @@ def config_from_test_args(a: argparse.Namespace) -> Config:
                                   max_detections=a.max_detections,
                                   max_box_size=(a.max_box_size / c.data.stride
                                                 if a.max_box_size > 0 else 1e9),
+                                  size_prune=a.size_prune,
                                   score_thresh=a.conf_thresh, nms_iou=a.nms_iou),
         train=c.train,
         infer=dataclasses.replace(c.infer, weights=a.weights, test_scales=scales,

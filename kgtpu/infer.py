@@ -69,9 +69,22 @@ def _detect_single(model: KGNet, cfg: Config, params, image: jnp.ndarray
     else:
         peaks = decode_peaks(last["hm"][0], last["reg"][0],
                              cfg.group.max_peaks_per_class)
-        cand = group_keypoints(peaks, cfg.group)
+        cand = group_keypoints(peaks, cfg.group,
+                               kp_wh=_peak_wh(last, peaks, cfg))
     dets = box_nms(cand, cfg.group.nms_iou)
     return dets, out["feat"][0]
+
+
+def _peak_wh(last: dict, peaks, cfg: Config, batch_idx: int | None = 0):
+    """Gather the size head at each decoded peak ([5, K, 2] stride units),
+    or None when the head is absent / size pruning is off."""
+    if cfg.group.size_prune <= 0 or "wh" not in last:
+        return None
+    wh = last["wh"] if batch_idx is None else last["wh"][batch_idx]
+    h, w, _ = wh.shape
+    flat = wh.reshape(h * w, 2).astype(jnp.float32)
+    c, k = peaks.indices.shape
+    return jnp.take(flat, peaks.indices.reshape(-1), axis=0).reshape(c, k, 2)
 
 
 def _mask_single(model: KGNet, cfg: Config, params, feat: jnp.ndarray,
@@ -237,6 +250,7 @@ def build_tiled_infer_fn(model: KGNet, cfg: Config,
                     tiles, NamedSharding(mesh, PartitionSpec("data")))
             out = model.apply(_vars(params), tiles)
             last = out["stacks"][-1]
+            has_wh = "wh" in last
 
             def per_tile(hm, reg, wh, feat, origin, rect, t_ok, tile_idx):
                 if cfg.group.method == "centernet":
@@ -246,7 +260,10 @@ def build_tiled_infer_fn(model: KGNet, cfg: Config,
                 else:
                     peaks = decode_peaks(hm, reg,
                                          cfg.group.max_peaks_per_class)
-                    cand = group_keypoints(peaks, cfg.group)
+                    cand = group_keypoints(
+                        peaks, cfg.group,
+                        kp_wh=_peak_wh({"wh": wh} if has_wh else {},
+                                       peaks, cfg, batch_idx=None))
                 dets = box_nms(cand, cfg.group.nms_iou)
                 dets_px = Boxes(boxes=dets.boxes * s, scores=dets.scores,
                                 valid=dets.valid)

@@ -70,16 +70,29 @@ def offset_loss(reg: jnp.ndarray, kpts: jnp.ndarray,
 
 
 def wh_loss(wh: jnp.ndarray, boxes: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
-    """L1 on box (w, h) gathered at the center keypoint pixel (OPEN-2 head)."""
-    centers = jnp.stack(
-        [(boxes[:, 0] + boxes[:, 2]) * 0.5, (boxes[:, 1] + boxes[:, 3]) * 0.5],
-        axis=-1,
-    )
-    pred = _gather_at(wh.astype(jnp.float32), jnp.floor(centers))   # [N, 2]
+    """L1 on box (w, h) gathered at ALL 5 keypoint pixels (OPEN-2 head).
+
+    Corner supervision matters, not just center: the keypoint-graph grouper
+    prunes (TL, BR) pairs by the size predicted AT THE CORNER PEAKS
+    (`GroupConfig.size_prune`), so the head must be accurate there — it is
+    what replaces the hand-tuned dataset `max_box_size` prior in crowded
+    scenes.  The centernet decode path reads the center pixel, also covered.
+    """
+    from kgtpu.ops.targets import keypoints_from_boxes
+
+    h, w, _ = wh.shape
+    kpts = keypoints_from_boxes(boxes)                    # [N, 5, 2]
+    ikpts = jnp.floor(kpts)
+    pred = _gather_at(wh.astype(jnp.float32), ikpts)      # [N, 5, 2]
     target = jnp.stack(
-        [boxes[:, 2] - boxes[:, 0], boxes[:, 3] - boxes[:, 1]], axis=-1)
-    m = valid > 0
-    l1 = jnp.sum(jnp.abs(pred - target), axis=-1)
+        [boxes[:, 2] - boxes[:, 0], boxes[:, 3] - boxes[:, 1]],
+        axis=-1)[:, None, :]                              # [N, 1, 2]
+    inb = (
+        (ikpts[..., 0] >= 0) & (ikpts[..., 0] < w)
+        & (ikpts[..., 1] >= 0) & (ikpts[..., 1] < h)
+    )                                                     # [N, 5]
+    m = (valid[:, None] > 0) & inb
+    l1 = jnp.sum(jnp.abs(pred - target), axis=-1)         # [N, 5]
     return jnp.sum(l1 * m) / jnp.maximum(jnp.sum(m), 1.0)
 
 

@@ -67,12 +67,20 @@ def _nearest_support(
     return jnp.where(jnp.isfinite(best_d), best_score * decay, 0.0)
 
 
-def group_keypoints(peaks: Peaks, cfg: GroupConfig) -> Boxes:
+def group_keypoints(peaks: Peaks, cfg: GroupConfig,
+                    kp_wh: jnp.ndarray | None = None) -> Boxes:
     """Assemble boxes from decoded per-class peaks.
 
     Args:
       peaks: decoder output, scores [5, K] / coords [5, K, 2].
       cfg: grouping thresholds (static — baked into the jitted program).
+      kp_wh: optional [5, K, 2] (w, h) size-head values gathered at each
+        peak's pixel (stride units).  With `cfg.size_prune > 0`, a (TL, BR)
+        pair whose span exceeds `size_prune` x the size predicted at either
+        corner is pruned — the data-free replacement for the `max_box_size`
+        dataset prior: in crowded scenes, cross-cell ghost pairs span many
+        cell widths while the corner peaks themselves predict one cell's
+        size, so the gate kills them regardless of their graph support.
 
     Returns:
       Boxes with `cfg.max_detections` rows, score-descending, NOT yet
@@ -92,6 +100,17 @@ def group_keypoints(peaks: Peaks, cfg: GroupConfig) -> Boxes:
         & (tl_s[:, None] > cfg.kp_score_thresh)
         & (br_s[None, :] > cfg.kp_score_thresh)
     )
+    if kp_wh is not None and cfg.size_prune > 0:
+        wh_tl = kp_wh[KP_TL].astype(jnp.float32)                  # [K, 2]
+        wh_br = kp_wh[KP_BR].astype(jnp.float32)
+        # the more permissive corner decides (max), with a 1-stride-px floor
+        # so noisy near-zero predictions can't veto legitimately tiny boxes
+        pw = jnp.maximum(jnp.maximum(wh_tl[:, None, 0], wh_br[None, :, 0]),
+                         1.0)
+        ph = jnp.maximum(jnp.maximum(wh_tl[:, None, 1], wh_br[None, :, 1]),
+                         1.0)
+        geom_ok = geom_ok & (dx <= cfg.size_prune * pw) \
+                          & (dy <= cfg.size_prune * ph)
     diag = jnp.sqrt(dx * dx + dy * dy)
 
     # --- graph support from the other three keypoint classes -------------

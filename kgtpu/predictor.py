@@ -46,7 +46,11 @@ class Predictor:
         params, extra = ckpt.restore_bundle(path, use_ema=use_ema)
         side = float(extra.get("max_gt_box_side_px", 0.0))
         train_canvas = float(extra.get("train_input_size", 0.0))
-        if side > 0 and train_canvas > 0 and cfg.group.max_box_size >= 1e9:
+        # fallback only: with wh-head size pruning active (the default) no
+        # dataset size prior is applied — see GroupConfig.size_prune
+        prune_active = cfg.group.size_prune > 0 and cfg.model.use_wh_head
+        if (side > 0 and train_canvas > 0 and cfg.group.max_box_size >= 1e9
+                and not prune_active):
             # stats are in train-canvas pixels; rescale to this canvas
             side_here = side * cfg.infer.input_size / train_canvas
             cfg = dataclasses.replace(

@@ -83,10 +83,13 @@ def main() -> None:
                 f"  sample missing keys: {missing}\n  sample extra keys: {extra}")
         log.info("loaded weights from %s%s", cfg.infer.weights,
                  " (EMA)" if getattr(args, "use_ema", False) else "")
-        # derive the grouper's size prior from the checkpoint's dataset
-        # stats unless the user set --max_box_size explicitly; the stored
-        # side is in TRAIN-canvas pixels — rescale to the inference canvas
-        if getattr(args, "max_box_size", 0) == 0:
+        # FALLBACK ONLY: when wh-head size pruning is unavailable (old
+        # checkpoint without the head, or --size_prune 0), derive a hard
+        # size cap from the checkpoint's dataset stats; the stored side is
+        # in TRAIN-canvas pixels — rescale to the inference canvas.  With
+        # size_prune active (the default) no dataset prior is needed.
+        if (getattr(args, "max_box_size", 0) == 0
+                and (cfg.group.size_prune <= 0 or not cfg.model.use_wh_head)):
             side = float(ck_extra.get("max_gt_box_side_px", 0.0))
             train_canvas = float(ck_extra.get("train_input_size", 0.0))
             if side > 0 and train_canvas > 0:

@@ -50,7 +50,11 @@ def test_centernet_infer_pipeline_runs():
 def test_centernet_without_wh_head_errors():
     cfg = tiny_test_config()
     cfg = dataclasses.replace(
-        cfg, group=dataclasses.replace(cfg.group, method="centernet"))
+        cfg,
+        # wh head is on by default now — disable it explicitly to exercise
+        # the configuration-error path
+        model=dataclasses.replace(cfg.model, use_wh_head=False),
+        group=dataclasses.replace(cfg.group, method="centernet"))
     state = train_lib.create_train_state(cfg, jax.random.PRNGKey(0))
     model = KGNet(cfg=cfg.model)
     infer = build_infer_fn(model, cfg)

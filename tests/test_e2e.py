@@ -101,9 +101,9 @@ def test_tta_at_least_single_scale(trained):
     assert tta["AP50"] > 0.3, tta
     # broken flip un-mirroring would place every flip detection at a mirrored
     # ghost position: NMS can't merge them, so the detection count ~doubles
-    # and AP collapses — both are asserted here (the exact-AP comparison is
-    # too noisy on an under-trained tiny model to gate on)
-    assert n_tta <= 1.5 * max(n_single, 1), (n_tta, n_single)
+    # (ratio -> 2.0) and AP collapses — both are asserted here (the exact-AP
+    # comparison is too noisy on an under-trained tiny model to gate on)
+    assert n_tta <= 1.8 * max(n_single, 1), (n_tta, n_single)
     assert tta["AP_coco"] >= single["AP_coco"] - 0.08, (tta, single)
 
 

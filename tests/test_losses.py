@@ -63,6 +63,20 @@ def test_mask_loss_invalid_only_is_finite():
 
 
 def test_wh_loss():
+    # supervised at ALL 5 keypoint pixels (corners + center): zero loss only
+    # when the map carries (w, h) at every one of them
     boxes = jnp.asarray([[2.0, 2.0, 10.0, 8.0]])   # w=8, h=6, center (6, 5)
-    wh = jnp.zeros((16, 16, 2)).at[5, 6].set(jnp.asarray([8.0, 6.0]))
+    wh = jnp.zeros((16, 16, 2))
+    for (x, y) in [(2, 2), (10, 2), (2, 8), (10, 8), (6, 5)]:
+        wh = wh.at[y, x].set(jnp.asarray([8.0, 6.0]))
     assert float(losses.wh_loss(wh, boxes, jnp.ones(1))) < 1e-6
+    # center-only supervision is no longer sufficient
+    wh_center_only = jnp.zeros((16, 16, 2)).at[5, 6].set(
+        jnp.asarray([8.0, 6.0]))
+    assert float(losses.wh_loss(wh_center_only, boxes, jnp.ones(1))) > 1.0
+    # out-of-frame corners are masked, not gathered at clamped pixels:
+    # poison the border row/col a clamped gather would read
+    edge = jnp.asarray([[0.0, 0.0, 16.0, 16.0]])   # TR/BL/BR at exactly 16
+    wh_edge = jnp.full((16, 16, 2), 16.0)
+    wh_edge = wh_edge.at[15, :].set(999.0).at[:, 15].set(999.0)
+    assert float(losses.wh_loss(wh_edge, edge, jnp.ones(1))) < 1e-6

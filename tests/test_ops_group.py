@@ -125,3 +125,57 @@ def test_group_min_box_size_filters_degenerate():
         GroupConfig(max_peaks_per_class=8, max_detections=8, min_box_size=2.0),
     )
     assert not bool(np.asarray(out.valid).any())
+
+
+def test_group_size_prune_kills_cross_ghosts_without_prior():
+    """Same crowded-scene ghost as test_group_max_box_size_kills_cross_ghosts,
+    but pruned by the wh head's per-corner size prediction (size_prune) with
+    NO dataset max_box_size prior — VERDICT.md round-1 item 5."""
+    boxes = np.array(
+        [[2.0, 2.0, 10.0, 10.0],      # cell A (its BR will be missed)
+         [60.0, 60.0, 68.0, 68.0],    # cell B (its TL will be missed)
+         [31.0, 31.0, 39.0, 39.0]],   # cell C centered at the ghost midpoint
+        np.float32)
+    scores = np.array([0.9, 0.9, 0.9], np.float32)
+    peaks = _peaks_from_boxes(boxes, scores)
+    from kgtpu.config import KP_BR, KP_TL
+    ps = np.asarray(peaks.scores).copy()
+    ps[KP_BR, 0] = 0.0
+    ps[KP_TL, 1] = 0.0
+    peaks = peaks._replace(scores=jnp.asarray(ps))
+
+    # a well-trained wh head predicts ~the instance's own size at every peak
+    wh = np.zeros((5, 16, 2), np.float32)
+    wh[:, :3] = 8.0                    # all three cells are 8x8 stride px
+    cfg = GroupConfig(max_peaks_per_class=16, max_detections=16,
+                      size_prune=3.0)
+    assert cfg.max_box_size >= 1e9     # explicitly NO dataset prior
+
+    out = jax.jit(lambda p, w: group_keypoints(p, cfg, kp_wh=w))(
+        peaks, jnp.asarray(wh))
+    got = np.asarray(out.boxes)[np.asarray(out.valid)]
+    assert len(got) >= 1
+    for b in got:                      # ghost (span 66) > 3 x 8 is gone
+        assert (b[2] - b[0]) <= 24.0 and (b[3] - b[1]) <= 24.0
+
+    # same peaks with size_prune disabled: the ghost IS there (guards that
+    # this test actually exercises the gate)
+    out2 = group_keypoints(peaks, GroupConfig(max_peaks_per_class=16,
+                                              max_detections=16,
+                                              size_prune=0.0))
+    got2 = np.asarray(out2.boxes)[np.asarray(out2.valid)]
+    assert any((b[2] - b[0]) > 24 for b in got2)
+
+
+def test_group_size_prune_keeps_small_boxes_with_noisy_wh():
+    """Near-zero (noisy) wh predictions must not veto legitimately small
+    boxes: the gate has a 1-stride-px floor."""
+    boxes = np.array([[4.0, 4.0, 7.0, 7.0]], np.float32)   # 3x3 box
+    scores = np.array([0.9], np.float32)
+    peaks = _peaks_from_boxes(boxes, scores)
+    wh = np.full((5, 16, 2), 0.01, np.float32)             # head says ~0
+    cfg = GroupConfig(max_peaks_per_class=16, max_detections=16,
+                      size_prune=3.0)
+    out = group_keypoints(peaks, cfg, kp_wh=jnp.asarray(wh))
+    got = np.asarray(out.boxes)[np.asarray(out.valid)]
+    assert len(got) == 1 and np.abs(got[0] - boxes[0]).max() < 1e-4

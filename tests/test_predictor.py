@@ -26,8 +26,16 @@ def ckpt_dir(tmp_path_factory):
 def test_predictor_from_checkpoint_and_predict(ckpt_dir):
     cfg = tiny_test_config()
     p = Predictor.from_checkpoint(ckpt_dir, cfg=cfg)
-    # size prior picked up from checkpoint stats: 1.5 * 40 / 4 = 15
-    assert abs(p.cfg.group.max_box_size - 15.0) < 1e-6
+    # with wh-head size pruning active (the default) the dataset size prior
+    # is NOT applied — ghost suppression is data-free now
+    assert p.cfg.group.max_box_size >= 1e9
+
+    # fallback path: size pruning disabled → prior from checkpoint stats
+    # (1.5 * 40 px / stride 4 = 15)
+    cfg_np = dataclasses.replace(
+        cfg, group=dataclasses.replace(cfg.group, size_prune=0.0))
+    p_np = Predictor.from_checkpoint(ckpt_dir, cfg=cfg_np)
+    assert abs(p_np.cfg.group.max_box_size - 15.0) < 1e-6
 
     img = np.random.default_rng(0).integers(
         0, 255, size=(97, 130, 3), dtype=np.uint8)   # non-square, odd size

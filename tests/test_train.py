@@ -85,3 +85,70 @@ def test_loss_decreases_over_steps():
         if first is None:
             first = float(metrics["loss"])
     assert float(metrics["loss"]) < first
+
+
+def test_sharded_step_ema_and_batchnorm_state():
+    """EMA params and BatchNorm running stats must stay correct under the
+    8-device mesh: replicated sharding in, finite + matching-unsharded out
+    (VERDICT.md round-1 item 4 — state under the mesh was untested)."""
+    cfg = tiny_test_config()
+    cfg = dataclasses.replace(
+        cfg,
+        model=dataclasses.replace(cfg.model, norm="batch"),
+        train=dataclasses.replace(cfg.train, ema_decay=0.9,
+                                  lr_warmup_steps=1))
+    model = KGNet(cfg=cfg.model)
+    ds = build_dataset(cfg.data)
+    batch = make_batch(ds, list(range(8)), cfg.data, augment=False,
+                       rng=np.random.default_rng(0))
+    rng = jax.random.PRNGKey(0)
+
+    state1 = train_lib.create_train_state(cfg, jax.random.PRNGKey(0))
+    assert state1.batch_stats is not None and state1.ema_params is not None
+    s1, _ = train_lib.make_train_step(model, cfg)(state1, batch, rng)
+
+    mesh = make_mesh()
+    repl = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec())
+    state8 = jax.device_put(
+        train_lib.create_train_state(cfg, jax.random.PRNGKey(0)), repl)
+    s8, m8 = train_lib.make_train_step(model, cfg, mesh=mesh)(
+        state8, shard_batch(batch, mesh), rng)
+
+    assert np.isfinite(float(m8["loss"]))
+    # GSPMD gives sync-BN for free: the sharded running stats must equal the
+    # full-batch (unsharded) stats, not one shard's
+    for a, b in zip(jax.tree.leaves(s1.batch_stats),
+                    jax.tree.leaves(s8.batch_stats)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
+    for a, b in zip(jax.tree.leaves(s1.ema_params),
+                    jax.tree.leaves(s8.ema_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
+
+
+def test_tiled_sharded_matches_unsharded():
+    """Spatial DP: the tile-sharded whole-slide program must produce the
+    same stitched output as the unsharded one (VERDICT.md item 4 — only the
+    train step had a sharded-equivalence test)."""
+    from kgtpu.infer import build_tiled_infer_fn
+
+    cfg = tiny_test_config()
+    cfg = dataclasses.replace(
+        cfg, infer=dataclasses.replace(cfg.infer, tile_size=64,
+                                       tile_overlap=16))
+    model = KGNet(cfg=cfg.model)
+    state = train_lib.create_train_state(cfg, jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    image = jnp.asarray(rng.normal(size=(160, 160, 3)), jnp.float32)
+
+    plain = build_tiled_infer_fn(model, cfg, (160, 160), tile_batch=8)
+    out1 = plain(state.params, image)
+
+    mesh = make_mesh()
+    sharded = build_tiled_infer_fn(model, cfg, (160, 160), mesh=mesh,
+                                   tile_batch=8)
+    out8 = sharded(state.params, image)
+
+    np.testing.assert_array_equal(np.asarray(out1["label_map"]),
+                                  np.asarray(out8["label_map"]))
+    np.testing.assert_allclose(np.asarray(out1["scores"]),
+                               np.asarray(out8["scores"]), atol=2e-4)
