@@ -1,0 +1,121 @@
+#!/usr/bin/env python
+"""Stage-by-stage profile of the flagship 512² two-stage inference.
+
+VERDICT.md round-1 item 2: perf work must be profiler-driven.  This script
+answers "where do the ~2 ms/img go?" by timing each pipeline stage as its
+own jitted program (scalar-forced, see benchmarks/common.py for why
+block_until_ready cannot be trusted on the tunneled axon platform) and
+reporting XLA cost analysis (FLOPs / bytes) per stage:
+
+  backbone+heads | decode+group+nms | roi-crop+mask-head | paste
+
+Stage programs re-run the upstream stages to produce their inputs, so the
+per-stage time is obtained by differencing cumulative programs — this keeps
+every measurement a single jit with no host round trips in the middle.
+
+Usage:  python benchmarks/profile_flagship.py [batch] [--trace DIR]
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from benchmarks.common import bench_fn, emit
+from kgtpu.config import Config
+from kgtpu.infer import _detect_single, _mask_single, _peak_wh, _vars
+from kgtpu.models import KGNet
+from kgtpu.ops.decode import decode_peaks
+from kgtpu.ops.group import group_keypoints
+from kgtpu.ops.nms import box_nms
+from kgtpu.ops.roi import paste_masks
+from kgtpu.train_lib import create_train_state
+
+
+def _cost(fn, *args):
+    c = jax.jit(fn).lower(*args).compile().cost_analysis() or {}
+    if isinstance(c, (list, tuple)):
+        c = c[0] if c else {}
+    return (float(c.get("flops", 0.0)),
+            float(c.get("bytes accessed", c.get("bytes_accessed", 0.0))))
+
+
+def main():
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 and sys.argv[1].isdigit() \
+        else int(os.environ.get("KGTPU_BENCH_BATCH", "16"))
+    trace_dir = ""
+    if "--trace" in sys.argv:
+        trace_dir = sys.argv[sys.argv.index("--trace") + 1]
+
+    cfg = Config()
+    state = create_train_state(cfg, jax.random.PRNGKey(0))
+    model = KGNet(cfg=cfg.model)
+    size = cfg.data.input_size
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(rng.normal(size=(batch, size, size, 3)), jnp.float32)
+
+    # cumulative stage programs (each includes all previous stages)
+    def s1_backbone(params, imgs):
+        def one(image):
+            out = model.apply(_vars(params), image[None])
+            return out["stacks"][-1]["hm"][0], out["feat"][0]
+        return jax.vmap(one)(imgs)
+
+    def s2_detect(params, imgs):
+        def one(image):
+            dets, feat = _detect_single(model, cfg, params, image)
+            return dets.boxes, dets.scores, feat
+        return jax.vmap(one)(imgs)
+
+    def s3_masklogits(params, imgs):
+        def one(image):
+            dets, feat = _detect_single(model, cfg, params, image)
+            logits = model.apply(_vars(params), feat, dets.boxes,
+                                 method=KGNet.mask_logits)
+            return logits, dets.boxes, dets.scores
+        return jax.vmap(one)(imgs)
+
+    def s4_full(params, imgs):
+        def one(image):
+            dets, feat = _detect_single(model, cfg, params, image)
+            return _mask_single(model, cfg, params, feat, dets, size, size)
+        return jax.vmap(one)(imgs)
+
+    stages = [("backbone_heads", s1_backbone), ("plus_decode_group", s2_detect),
+              ("plus_roi_maskhead", s3_masklogits), ("full_with_paste", s4_full)]
+    results = []
+    prev_ms = 0.0
+    prev_fl = 0.0
+    for name, fn in stages:
+        r = bench_fn(fn, state.params, images, iters=10, warmup=2)
+        fl, by = _cost(fn, state.params, images)
+        ms = 1000 * r["sec_per_call"] / batch
+        results.append({
+            "stage": name,
+            "cum_ms_per_img": round(ms, 4),
+            "stage_ms_per_img": round(ms - prev_ms, 4),
+            "cum_gflops_per_img": round(fl / batch / 1e9, 2),
+            "stage_gflops_per_img": round((fl - prev_fl) / batch / 1e9, 2),
+            "cum_bytes_mb_per_img": round(by / batch / 1e6, 1),
+        })
+        prev_ms, prev_fl = ms, fl
+
+    if trace_dir:
+        full = jax.jit(s4_full)
+        _ = jax.block_until_ready(full(state.params, images))
+        with jax.profiler.trace(trace_dir):
+            for _ in range(3):
+                out = full(state.params, images)
+            jax.block_until_ready(out)
+        print(f"# trace written to {trace_dir}", file=sys.stderr)
+
+    for row in results:
+        emit(row)
+
+
+if __name__ == "__main__":
+    main()

@@ -49,6 +49,10 @@ class ModelConfig:
                                        # (GroupConfig.size_prune) and the
                                        # centernet decode needs it
     norm: str = "group"                # "group" | "batch"; group avoids sync-BN in DP
+    inter_inject: bool = False         # CornerNet-style prediction feedback:
+                                       # re-inject each stack's head logits
+                                       # into the next stack's input (needs
+                                       # num_stacks > 1; ablation flag)
     # Mask head (stage 2).  OPEN-3: consumes ROI-cropped backbone features.
     roi_size: int = 32                 # crop size on the stride-4 feature map
     mask_size: int = 64                # mask-logit resolution (roi_size * 2 upsample)
@@ -230,6 +234,9 @@ def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--wh_head", type=int, default=1, choices=[0, 1],
                    help="train/use the (w,h) size head (needed by "
                         "--size_prune and --decode centernet)")
+    p.add_argument("--inter_inject", action="store_true",
+                   help="CornerNet-style prediction feedback between "
+                        "hourglass stacks (train and test must both set it)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--debug_nans", action="store_true",
                    help="enable jax_debug_nans (report the op producing "
@@ -278,6 +285,9 @@ def build_test_parser() -> argparse.ArgumentParser:
     p.add_argument("--test_flip", action="store_true",
                    help="add horizontal-flip TTA (merged on device)")
     p.add_argument("--save_dir", default="results")
+    p.add_argument("--coco_json", default="",
+                   help="also write predictions as COCO results JSON "
+                        "(bbox + uncompressed-RLE segmentation per instance)")
     p.add_argument("--tile_size", type=int, default=512)
     p.add_argument("--tile_overlap", type=int, default=64)
     p.add_argument("--profile_dir", default="")
@@ -300,6 +310,7 @@ def config_from_train_args(a: argparse.Namespace) -> Config:
                                   num_stacks=a.num_stacks, norm=a.norm,
                                   use_wh_head=(bool(a.wh_head)
                                                or a.decode == "centernet"),
+                                  inter_inject=a.inter_inject,
                                   remat=a.remat),
         data=dataclasses.replace(c.data, dataset=a.dataset, data_dir=a.data_dir,
                                  input_size=a.input_size),
@@ -338,7 +349,8 @@ def config_from_test_args(a: argparse.Namespace) -> Config:
         model=dataclasses.replace(c.model, backbone=a.backbone,
                                   num_stacks=a.num_stacks, norm=a.norm,
                                   use_wh_head=(bool(a.wh_head)
-                                               or a.decode == "centernet")),
+                                               or a.decode == "centernet"),
+                                  inter_inject=a.inter_inject),
         data=dataclasses.replace(c.data, dataset=a.dataset, data_dir=a.data_dir,
                                  input_size=a.input_size),
         group=dataclasses.replace(c.group, method=a.decode,

@@ -52,7 +52,14 @@ class HourglassBackbone(nn.Module):
     remat: bool = False
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, head_fns=None):
+        """head_fns: optional list of per-stack head modules (owned by the
+        parent KGNet).  When given, each stack's predictions are computed
+        HERE and re-injected into the next stack's input (CornerNet-style
+        prediction feedback), and the per-stack prediction dicts are
+        returned alongside the features so the parent does not re-run the
+        heads.  The injection convs only exist in this mode, so the default
+        param tree is unchanged."""
         x = ConvBlock(self.features // 2, kernel=7, stride=2, norm=self.norm,
                       dtype=self.dtype)(x, train)
         x = Residual(self.features, stride=2, norm=self.norm,
@@ -65,19 +72,33 @@ class HourglassBackbone(nn.Module):
         hg_cls = (nn.remat(HourglassModule, static_argnums=(2,))
                   if self.remat else HourglassModule)
 
-        outs = []
+        outs, preds = [], []
         for i in range(self.num_stacks):
             hg = hg_cls(self.depth, self.features, self.norm,
                         self.dtype, name=f"HourglassModule_{i}")(x, train)
             feat = ConvBlock(self.features, 3, norm=self.norm,
                              dtype=self.dtype)(hg, train)
             outs.append(feat)
+            p = head_fns[i](feat) if head_fns is not None else None
+            preds.append(p)
             if i < self.num_stacks - 1:
                 # inter-stack fusion: project both and re-enter
-                x = nn.relu(
+                fuse = (
                     nn.Conv(self.features, (1, 1), use_bias=False,
                             dtype=self.dtype)(x)
                     + nn.Conv(self.features, (1, 1), use_bias=False,
                               dtype=self.dtype)(feat)
                 )
+                if p is not None:
+                    # prediction feedback: project this stack's raw head
+                    # logits back into feature space so the next stack can
+                    # correct them rather than re-derive from scratch
+                    pcat = jnp.concatenate(
+                        [p[k] for k in sorted(p)], axis=-1).astype(self.dtype)
+                    fuse = fuse + nn.Conv(
+                        self.features, (1, 1), use_bias=False,
+                        dtype=self.dtype, name=f"inject_{i}")(pcat)
+                x = nn.relu(fuse)
+        if head_fns is not None:
+            return outs, preds
         return outs

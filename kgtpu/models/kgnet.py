@@ -61,11 +61,24 @@ class KGNet(nn.Module):
     def __call__(self, images: jnp.ndarray, train: bool = False) -> dict:
         """images [B, H, W, 3] → {"stacks": [...], "feat": [B, H/4, W/4, F]}."""
         dtype = jnp.dtype(self.cfg.compute_dtype)
-        feats = self.backbone(images.astype(dtype), train)
-        stacks = [
-            {k: v.astype(jnp.float32) for k, v in head(f).items()}
-            for head, f in zip(self.heads, feats)
-        ]
+        if (self.cfg.inter_inject
+                and self.cfg.backbone in ("hourglass", "hourglass_lite")
+                and self.cfg.num_stacks > 1):
+            # CornerNet-style prediction feedback: heads run inside the
+            # backbone loop so stack i's logits are re-injected into stack
+            # i+1's input (heads' params still live under this module)
+            feats, preds = self.backbone(images.astype(dtype), train,
+                                         head_fns=list(self.heads))
+            stacks = [
+                {k: v.astype(jnp.float32) for k, v in p.items()}
+                for p in preds
+            ]
+        else:
+            feats = self.backbone(images.astype(dtype), train)
+            stacks = [
+                {k: v.astype(jnp.float32) for k, v in head(f).items()}
+                for head, f in zip(self.heads, feats)
+            ]
         return {"stacks": stacks, "feat": feats[-1]}
 
     def init_all(self, images: jnp.ndarray) -> dict:

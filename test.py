@@ -133,8 +133,13 @@ def main() -> None:
         jax.profiler.start_trace(args.profile_dir)
 
     save_vis = getattr(args, "save_vis", False)
+    coco_records = [] if getattr(args, "coco_json", "") else None
 
     def write_result(iid, label, boxes, dscores, dvalid, image=None):
+        if coco_records is not None:
+            # slot-aligned full arrays: label id i+1 <-> boxes[i]/dscores[i]
+            coco_records.append({"id": iid, "label_map": label,
+                                 "boxes": boxes, "scores": dscores})
         cv2.imwrite(os.path.join(cfg.infer.save_dir, f"{iid}_label.png"),
                     label.astype(np.uint16))
         if save_vis and image is not None:
@@ -244,6 +249,10 @@ def main() -> None:
     with open(os.path.join(cfg.infer.save_dir, "detections.json"), "w") as f:
         json.dump({"images": summary, "input_size": base,
                    "test_scales": list(scales)}, f)
+    if coco_records is not None:
+        from kgtpu.coco_export import write_coco_json
+        n = write_coco_json(args.coco_json, coco_records)
+        log.info("wrote %d COCO instance records to %s", n, args.coco_json)
     log.info("wrote %d results to %s (%.2f img/s end-to-end)",
              len(summary), cfg.infer.save_dir,
              len(summary) / max(time.time() - t0, 1e-6))

@@ -76,3 +76,28 @@ def test_hm_bias_prior():
     out = model.apply(variables, x)
     mean_p = float(jax.nn.sigmoid(out["stacks"][-1]["hm"]).mean())
     assert 0.02 < mean_p < 0.35
+
+
+def test_inter_inject_prediction_feedback():
+    """inter_inject re-injects stack-i head logits into stack i+1: outputs
+    keep their shapes, and the injection conv exists ONLY in this mode."""
+    mcfg = dataclasses.replace(_tiny("hourglass"), inter_inject=True)
+    model = KGNet(cfg=mcfg)
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(1, 64, 64, 3)),
+                    jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x, method=KGNet.init_all)
+    flat = jax.tree_util.tree_flatten_with_path(variables)[0]
+    paths = {jax.tree_util.keystr(p) for p, _ in flat}
+    assert any("inject_0" in p for p in paths), sorted(paths)[:10]
+
+    out = model.apply(variables, x)
+    assert len(out["stacks"]) == 2
+    assert out["stacks"][1]["hm"].shape == (1, 16, 16, 5)
+    assert out["feat"].shape[-1] == mcfg.base_channels
+
+    # plain two-stack model: no injection params
+    model0 = KGNet(cfg=_tiny("hourglass"))
+    v0 = model0.init(jax.random.PRNGKey(0), x, method=KGNet.init_all)
+    paths0 = {jax.tree_util.keystr(p)
+              for p, _ in jax.tree_util.tree_flatten_with_path(v0)[0]}
+    assert not any("inject" in p for p in paths0)
