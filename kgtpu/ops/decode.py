@@ -11,6 +11,26 @@ offsets.  Here the whole decode is one fused fixed-shape device program:
   * offset gather via `jnp.take` on the flat index.
 
 Layout is channel-last ([H, W, C]) to match the flax NHWC models.
+
+Performance (round-2 profile, v5e batch 32): `lax.top_k` over the full
+[C, H·W] map lowers to a bitonic sort and cost 0.84 ms/img at 128² — as much
+as the whole backbone.  The fast path cuts the sort 4×:
+
+  1. NMS deduplicates plateaus lexicographically (among window-equal maxima
+     only the lowest row-major index survives — the framework-wide tie rule).
+     This guarantees ≤ 1 surviving peak per 2×2 pixel block: two survivors in
+     a block would sit in each other's 3×3 window, so the lower-valued (or
+     higher-indexed, on ties) one would have been suppressed.
+  2. The NMS'd map is max-reduced over 2×2 blocks (exact, by the guarantee)
+     and top-k runs over H·W/4 candidates; full-resolution indices are
+     recovered from the within-block argmax.
+  3. The k winners are re-sorted by (score desc, full-res index asc) so the
+     output order is identical to the naive full-resolution decode.
+
+`dedup_plateaus=False` restores the reference's keep-all-plateau-pixels
+behavior (every pixel equal to its window max survives) via the full-map
+sort path.  With distinct scores the two modes return identical peaks; they
+differ only on exact float ties, where the reference emits duplicates.
 """
 
 from __future__ import annotations
@@ -30,8 +50,16 @@ class Peaks(NamedTuple):
     indices: jnp.ndarray  # [C, K] flat row-major spatial index of each peak
 
 
-def _maxpool_nms(hm: jnp.ndarray, window: int = 3) -> jnp.ndarray:
-    """Suppress non-local-maxima: keep pixels equal to their 3×3 window max."""
+def _maxpool_nms(hm: jnp.ndarray, window: int = 3,
+                 dedup_plateaus: bool = True) -> jnp.ndarray:
+    """Suppress non-local-maxima: keep pixels equal to their 3×3 window max.
+
+    With `dedup_plateaus` (default), window-equal survivors are further
+    deduplicated: among surviving pixels of equal value within one window,
+    only the lowest row-major index is kept (score desc, lowest index — the
+    framework tie rule), so a flat plateau yields ONE peak, not several.
+    """
+    h, w, _ = hm.shape
     pooled = lax.reduce_window(
         hm,
         -jnp.inf,
@@ -40,7 +68,54 @@ def _maxpool_nms(hm: jnp.ndarray, window: int = 3) -> jnp.ndarray:
         window_strides=(1, 1, 1),
         padding="SAME",
     )
-    return jnp.where(hm == pooled, hm, 0.0)
+    achiever = hm == pooled
+    if not dedup_plateaus:
+        return jnp.where(achiever, hm, 0.0)
+    # index of each *surviving* achiever, +inf elsewhere; a pixel stays only
+    # if it is the lowest-index surviving achiever of its own value in its
+    # window (suppressed achievers do not veto — they are not emitted peaks)
+    big = jnp.float32(h * w)
+    fidx = jnp.arange(h * w, dtype=jnp.float32).reshape(h, w, 1)
+    cand = jnp.where(achiever, fidx, big)
+    min_idx = -lax.reduce_window(
+        -cand,
+        -big,
+        lax.max,
+        window_dimensions=(window, window, 1),
+        window_strides=(1, 1, 1),
+        padding="SAME",
+    )
+    keep = achiever & (cand == min_idx)
+    return jnp.where(keep, hm, 0.0)
+
+
+def _blocked_topk(prob: jnp.ndarray, k: int
+                  ) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Exact per-class top-k of a plateau-deduplicated NMS'd map.
+
+    prob [H, W, C] with ≤ 1 nonzero per 2×2 block (the `_maxpool_nms`
+    dedup guarantee) → (scores [C, k], full-res flat indices [C, k]),
+    ordered (score desc, index asc).  Sorts H·W/4 candidates instead of
+    H·W — the decode hot spot (module docstring).
+    """
+    h, w, c = prob.shape
+    h2, w2 = h // 2, w // 2
+    blk = prob.reshape(h2, 2, w2, 2, c).transpose(0, 2, 1, 3, 4)
+    blk = blk.reshape(h2, w2, 4, c)                       # block-major, then
+    bv = jnp.max(blk, axis=2)                             # (dy, dx) position
+    bpos = jnp.argmax(blk, axis=2).astype(jnp.int32)      # [h2, w2, c]
+
+    flat_bv = bv.reshape(h2 * w2, c).T                    # [C, H*W/4]
+    scores, bidx = lax.top_k(flat_bv, k)                  # [C, k]
+    pos = jnp.take_along_axis(
+        bpos.reshape(h2 * w2, c).T, bidx, axis=1)         # [C, k]
+    by, bx = bidx // w2, bidx % w2
+    idx = (by * 2 + pos // 2) * w + bx * 2 + pos % 2      # full-res flat
+
+    # exact output tie order: top_k above breaks score ties by BLOCK index;
+    # re-sort the k winners by (score desc, full-res index asc)
+    scores, idx = lax.sort((-scores, idx), dimension=1, num_keys=2)
+    return -scores, idx
 
 
 def decode_peaks(
@@ -49,6 +124,7 @@ def decode_peaks(
     k: int,
     apply_sigmoid: bool = True,
     nms_window: int = 3,
+    dedup_plateaus: bool = True,
 ) -> Peaks:
     """Decode the top-k peaks per keypoint class.
 
@@ -59,6 +135,9 @@ def decode_peaks(
       apply_sigmoid: apply sigmoid to `hm` first (reference applies it at
         decode time on raw head logits).
       nms_window: max-pool NMS window (reference: 3).
+      dedup_plateaus: keep one peak per equal-valued plateau (lowest index)
+        instead of the reference's all-plateau-pixels; enables the 4×-smaller
+        exact blocked top-k (module docstring).
 
     Returns:
       Peaks with scores [C,K], coords [C,K,2] (x, y float, stride units),
@@ -66,10 +145,14 @@ def decode_peaks(
     """
     h, w, c = hm.shape
     prob = jax.nn.sigmoid(hm) if apply_sigmoid else hm
-    prob = _maxpool_nms(prob.astype(jnp.float32), nms_window)
+    prob = _maxpool_nms(prob.astype(jnp.float32), nms_window, dedup_plateaus)
 
-    flat = prob.reshape(h * w, c).T                       # [C, H*W]
-    scores, idx = lax.top_k(flat, k)                      # [C, K] each
+    if dedup_plateaus and nms_window >= 3 and h % 2 == 0 and w % 2 == 0 \
+            and k <= (h * w) // 4:
+        scores, idx = _blocked_topk(prob, k)              # [C, K] each
+    else:
+        flat = prob.reshape(h * w, c).T                   # [C, H*W]
+        scores, idx = lax.top_k(flat, k)                  # [C, K] each
     ys = (idx // w).astype(jnp.float32)
     xs = (idx % w).astype(jnp.float32)
 

@@ -60,8 +60,11 @@ def _nearest_support(
         (points[..., None, :] - kp_xy[None, None, :, :]) ** 2, axis=-1
     )                                                     # [..., K]
     d2 = jnp.where(kp_score[None, None, :] > score_thresh, d2, jnp.inf)
+    # min + argmin as two fused reductions over the virtual [..., K] axis —
+    # the earlier argmin + take_along_axis form forced XLA to materialize the
+    # whole [K, K, K] distance tensor (a round-2 profiled HBM sink)
     best = jnp.argmin(d2, axis=-1)                        # [...]
-    best_d = jnp.sqrt(jnp.take_along_axis(d2, best[..., None], axis=-1)[..., 0])
+    best_d = jnp.sqrt(jnp.min(d2, axis=-1))
     best_score = kp_score[best]
     decay = jnp.maximum(1.0 - best_d / jnp.maximum(tol * diag, 1e-6), 0.0)
     return jnp.where(jnp.isfinite(best_d), best_score * decay, 0.0)
@@ -151,25 +154,61 @@ def group_keypoints(peaks: Peaks, cfg: GroupConfig,
         ok = ok & (tr_sup > 0.0) & (bl_sup > 0.0)
 
     # --- greedy matching: emit boxes by descending score, consuming each
-    # TL / BR node at most once.  `lax.scan` of argmax+suppress keeps the
-    # whole match on device with a static trip count.  Tie order: score
-    # desc, then flat (tl_idx * K + br_idx) asc via argmax's first-match
-    # rule — the determinism rule of SURVEY.md §7.3 item 2.
+    # TL / BR node at most once.  Tie order: score desc, then flat
+    # (tl_idx * K + br_idx) asc — the determinism rule of SURVEY.md §7.3
+    # item 2.
+    #
+    # Parallel-rounds formulation (round-2 perf: the previous
+    # argmax+suppress `lax.scan` ran max_detections=128 *sequential* tiny
+    # steps — pure latency).  Edges get a unique priority rank under
+    # (score desc, flat index asc); each round simultaneously accepts every
+    # edge whose rank is the minimum among live edges in BOTH its row and
+    # its column, then kills those rows/columns.  A mutual row/col minimum
+    # is exactly the edge sequential greedy would pick next (every edge
+    # conflicting with it ranks worse, so greedy reaches it untouched), and
+    # the global live minimum is always mutual, so each round accepts ≥ 1
+    # edge and the fixpoint IS the sequential greedy matching — typically
+    # in a handful of rounds instead of 128.
     k = tl.shape[0]
-    flat0 = jnp.where(ok, score, -1.0).reshape(-1)                # [K*K]
-    rows = jnp.arange(k * k) // k
-    cols = jnp.arange(k * k) % k
+    big = jnp.int32(k * k)
+    fidx = jnp.arange(k * k, dtype=jnp.int32).reshape(k, k)
 
-    def pick(flat, _):
-        idx = jnp.argmax(flat)
-        s = flat[idx]
-        ti, bj = idx // k, idx % k
-        used = (rows == ti) | (cols == bj)
-        flat_next = jnp.where(s > 0.0, jnp.where(used, -1.0, flat), flat)
-        return flat_next, (s, ti, bj)
+    def alive_any(state):
+        live, _ = state
+        return jnp.any(live)
 
-    _, (top_scores, ti, bj) = lax.scan(
-        pick, flat0, None, length=cfg.max_detections)
+    def round_(state):
+        live, kept = state                                # [K,K] bool each
+        sc = jnp.where(live, score, -1.0)
+        row_max = jnp.max(sc, axis=1, keepdims=True)      # [K, 1]
+        col_max = jnp.max(sc, axis=0, keepdims=True)      # [1, K]
+        # best live edge of each row/col under (score desc, flat idx asc):
+        # min flat index among the max-score achievers
+        row_arg = jnp.min(jnp.where(live & (sc == row_max), fidx, big),
+                          axis=1, keepdims=True)
+        col_arg = jnp.min(jnp.where(live & (sc == col_max), fidx, big),
+                          axis=0, keepdims=True)
+        new = live & (fidx == row_arg) & (fidx == col_arg)
+        used_r = jnp.any(new, axis=1, keepdims=True)
+        used_c = jnp.any(new, axis=0, keepdims=True)
+        live = live & ~used_r & ~used_c
+        return live, kept | new
+
+    live0 = ok & (score > 0.0)
+    _, kept = lax.while_loop(
+        alive_any, round_, (live0, jnp.zeros((k, k), bool)))
+
+    # ≤ 1 kept edge per row: reduce rows, then sort rows by (score desc,
+    # row asc) — equal-score edges in distinct rows are already in flat
+    # order — and keep the top max_detections (sequential greedy's first D
+    # picks are the D best-ranked edges of the full matching).
+    row_score = jnp.max(jnp.where(kept, score, -1.0), axis=1)     # [K]
+    row_col = jnp.argmax(jnp.where(kept, score, -1.0), axis=1)    # [K]
+    neg_s, ti, bj = lax.sort(
+        (-row_score, jnp.arange(k, dtype=jnp.int32), row_col.astype(jnp.int32)),
+        dimension=0, num_keys=2)
+    d = cfg.max_detections
+    top_scores, ti, bj = -neg_s[:d], ti[:d], bj[:d]
     boxes = jnp.stack(
         [tl[ti, 0], tl[ti, 1], br[bj, 0], br[bj, 1]], axis=-1,
     )

@@ -94,13 +94,19 @@ def crop_and_resize(
     h, w, _ = img.shape
     r = out_size
     weights = _nearest_weights if method == "nearest" else _crop_weights
+    # bf16 sources (the backbone feature maps) stay bf16 through the matmuls
+    # so the MXU runs at its bf16 rate (the crop is ~21 GFLOP/img at the
+    # flagship shapes — 1/3 of the profiled mask-stage FLOPs); accumulation
+    # is f32 via preferred_element_type.  Everything else (GT label maps,
+    # f32 images, the cv2-parity tests) keeps the exact f32 path.
+    cd = jnp.bfloat16 if img.dtype == jnp.bfloat16 else jnp.float32
 
     def one(box):
         wy = weights(box[1], box[3] - box[1], r, h)             # [r, H]
         wx = weights(box[0], box[2] - box[0], r, w)             # [r, W]
-        tmp = jnp.einsum("jy,yxc->jxc", wy, img.astype(jnp.float32),
+        tmp = jnp.einsum("jy,yxc->jxc", wy.astype(cd), img.astype(cd),
                          preferred_element_type=jnp.float32)
-        return jnp.einsum("ix,jxc->jic", wx, tmp,
+        return jnp.einsum("ix,jxc->jic", wx.astype(cd), tmp.astype(cd),
                           preferred_element_type=jnp.float32)
 
     return jax.vmap(one)(boxes.astype(jnp.float32)).astype(img.dtype)

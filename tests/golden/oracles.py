@@ -59,9 +59,13 @@ def render_heatmaps(kpts, sizes_hw, valid, height, width, min_overlap=0.7):
 
 # --- C9: peak decode --------------------------------------------------------
 
-def decode_peaks(hm, reg, k, apply_sigmoid=True, window=3):
+def decode_peaks(hm, reg, k, apply_sigmoid=True, window=3,
+                 dedup_plateaus=True):
     """hm [H,W,C] logits, reg [H,W,2] or None → (scores [C,K], coords [C,K,2],
-    idx [C,K]).  Naive loops; ties break by row-major index ascending."""
+    idx [C,K]).  Naive loops; ties break by row-major index ascending.
+    `dedup_plateaus`: among window-equal surviving maxima, only the lowest
+    row-major index is kept (the op's default); False = reference behavior
+    (every pixel equal to its window max survives)."""
     h, w, c = hm.shape
     prob = 1 / (1 + np.exp(-hm.astype(np.float64))) if apply_sigmoid else hm.astype(np.float64)
     pad = window // 2
@@ -71,6 +75,21 @@ def decode_peaks(hm, reg, k, apply_sigmoid=True, window=3):
         for x in range(w):
             pooled[y, x] = padded[y:y + window, x:x + window].max(axis=(0, 1))
     keep = prob == pooled
+    if dedup_plateaus:
+        # a survivor stays only if no other survivor in its window has a
+        # lower row-major index (achievers in a shared window always tie
+        # in value, so this deduplicates plateaus deterministically)
+        keep2 = keep.copy()
+        for y in range(h):
+            for x in range(w):
+                for cc in range(c):
+                    if not keep[y, x, cc]:
+                        continue
+                    for yy in range(max(y - pad, 0), min(y + pad + 1, h)):
+                        for xx in range(max(x - pad, 0), min(x + pad + 1, w)):
+                            if keep[yy, xx, cc] and yy * w + xx < y * w + x:
+                                keep2[y, x, cc] = False
+        keep = keep2
     scores_map = np.where(keep, prob, 0.0)
 
     scores = np.zeros((c, k), np.float32)

@@ -42,11 +42,37 @@ def test_decode_finds_planted_peaks():
     assert s[1, 0] < 1e-3
 
 
-def test_decode_plateau_keeps_all_equal_maxima():
-    # equal scores tie-break by row-major index ascending
+def test_decode_plateau_dedup_keeps_lowest_index():
+    # a flat plateau of equal maxima yields ONE peak at the lowest row-major
+    # index (framework tie rule); the rest of the plateau is suppressed
     hm = np.zeros((8, 8, 1), np.float32)
+    hm[2:4, 3:5, 0] = 3.0                     # 2x2 plateau, min idx = 2*8+3
     got = decode.decode_peaks(jnp.asarray(hm), None, 4, apply_sigmoid=False)
-    np.testing.assert_array_equal(np.asarray(got.indices)[0], [0, 1, 2, 3])
+    s = np.asarray(got.scores)[0]
+    assert s[0] == 3.0 and np.asarray(got.indices)[0, 0] == 19
+    assert s[1] < 3.0                         # plateau emitted exactly once
+
+
+def test_decode_plateau_reference_mode_keeps_all():
+    # dedup_plateaus=False restores the reference's keep-all behavior
+    hm = np.zeros((8, 8, 1), np.float32)
+    hm[2:4, 3:5, 0] = 3.0
+    got = decode.decode_peaks(jnp.asarray(hm), None, 4, apply_sigmoid=False,
+                              dedup_plateaus=False)
+    np.testing.assert_array_equal(np.asarray(got.indices)[0],
+                                  [19, 20, 27, 28])
+
+
+def test_decode_dedup_matches_oracle_on_ties():
+    # constructed ties: oracle dedup semantics == op dedup semantics
+    rng = np.random.default_rng(3)
+    hm = rng.integers(0, 4, size=(16, 16, 2)).astype(np.float32)  # many ties
+    got = decode.decode_peaks(jnp.asarray(hm), None, 8, apply_sigmoid=False)
+    want_s, _, want_i = oracles.decode_peaks(hm, None, 8, apply_sigmoid=False)
+    np.testing.assert_allclose(np.asarray(got.scores), want_s, atol=1e-6)
+    # positive-score rows must agree exactly (zero rows are padding)
+    pos = want_s > 0
+    np.testing.assert_array_equal(np.asarray(got.indices)[pos], want_i[pos])
 
 
 def test_decode_batch():
