@@ -43,9 +43,10 @@ def main() -> None:
     infer = build_infer_fn(model, cfg)
 
     rng = np.random.default_rng(0)
-    images = jnp.asarray(
-        rng.normal(size=(batch, cfg.data.input_size, cfg.data.input_size, 3)),
-        jnp.float32)
+    # raw uint8 pixels — the production input contract (device-side normalize)
+    images = jnp.asarray(rng.integers(
+        0, 256, size=(batch, cfg.data.input_size, cfg.data.input_size, 3),
+        dtype=np.uint8))
 
     # Execution is forced with an on-device scalar reduction rather than
     # block_until_ready / full fetch: on the tunneled axon platform

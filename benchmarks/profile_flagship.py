@@ -56,7 +56,8 @@ def main():
     model = KGNet(cfg=cfg.model)
     size = cfg.data.input_size
     rng = np.random.default_rng(0)
-    images = jnp.asarray(rng.normal(size=(batch, size, size, 3)), jnp.float32)
+    images = jnp.asarray(rng.integers(0, 256, size=(batch, size, size, 3),
+                                      dtype=np.uint8))
 
     # cumulative stage programs (each includes all previous stages)
     def s1_backbone(params, imgs):

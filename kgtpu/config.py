@@ -71,6 +71,7 @@ class DataConfig:
 
     dataset: str = "synthetic"         # "synthetic" | "dsb2018" | "neural_cells"
     data_dir: str = ""
+    synthetic_train_images: int = 64   # generated train-set size (synthetic*)
     input_size: int = 512              # square training crop (H = W)
     stride: int = 4                    # OPEN-7: output stride of the backbone
     max_instances: int = 128           # pad/truncate GT instances per image
@@ -237,6 +238,13 @@ def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--inter_inject", action="store_true",
                    help="CornerNet-style prediction feedback between "
                         "hourglass stacks (train and test must both set it)")
+    p.add_argument("--roi_size", type=int, default=32,
+                   help="mask-head ROI crop side on the stride-4 features "
+                        "(train and test must match; OPEN-3 ablation knob)")
+    p.add_argument("--synthetic_n", type=int, default=64,
+                   help="generated train-set size for the synthetic datasets")
+    p.add_argument("--mask_size", type=int, default=0,
+                   help="mask-logit resolution (0 = 2x --roi_size)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--debug_nans", action="store_true",
                    help="enable jax_debug_nans (report the op producing "
@@ -311,9 +319,12 @@ def config_from_train_args(a: argparse.Namespace) -> Config:
                                   use_wh_head=(bool(a.wh_head)
                                                or a.decode == "centernet"),
                                   inter_inject=a.inter_inject,
+                                  roi_size=a.roi_size,
+                                  mask_size=a.mask_size or 2 * a.roi_size,
                                   remat=a.remat),
         data=dataclasses.replace(c.data, dataset=a.dataset, data_dir=a.data_dir,
-                                 input_size=a.input_size),
+                                 input_size=a.input_size,
+                                 synthetic_train_images=a.synthetic_n),
         group=dataclasses.replace(c.group, method=a.decode,
                                   max_peaks_per_class=a.max_peaks,
                                   max_detections=a.max_detections,
@@ -350,9 +361,12 @@ def config_from_test_args(a: argparse.Namespace) -> Config:
                                   num_stacks=a.num_stacks, norm=a.norm,
                                   use_wh_head=(bool(a.wh_head)
                                                or a.decode == "centernet"),
-                                  inter_inject=a.inter_inject),
+                                  inter_inject=a.inter_inject,
+                                  roi_size=a.roi_size,
+                                  mask_size=a.mask_size or 2 * a.roi_size),
         data=dataclasses.replace(c.data, dataset=a.dataset, data_dir=a.data_dir,
-                                 input_size=a.input_size),
+                                 input_size=a.input_size,
+                                 synthetic_train_images=a.synthetic_n),
         group=dataclasses.replace(c.group, method=a.decode,
                                   max_peaks_per_class=a.max_peaks,
                                   max_detections=a.max_detections,

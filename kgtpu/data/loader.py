@@ -26,24 +26,36 @@ def _prepare_sample(sample: dict, cfg: DataConfig, augment: bool,
                     rng: np.random.Generator,
                     image_only: bool = False) -> dict:
     """image_only=True skips GT geometry (inference paths only read the
-    image; boxes_from_label_map + renumber are pure waste there)."""
+    image; boxes_from_label_map + renumber are pure waste there).
+
+    Images stay uint8 and color jitter becomes two per-image scalars
+    ("img_gain"/"img_bias", applied on device by ops.normalize_images):
+    round-2 profiling put host-side normalize + jitter at ~385 ms/sample on
+    a 1-core host — the training bottleneck — vs ~nothing as fused XLA.
+    """
     if augment:
         m = transforms.random_affine_params(
             rng, cfg.input_size, sample["label_map"].shape,
             scale_range=cfg.scale_range, rotate_deg=cfg.rotate_deg,
             flip_prob=cfg.flip_prob)
-        s = transforms.apply_affine(sample, m, cfg.input_size,
-                                    color_jitter=cfg.color_jitter, rng=rng)
+        s = transforms.apply_affine(sample, m, cfg.input_size)
     else:
         s = transforms.resize_sample(sample, cfg.input_size)
-    img = s["image"].astype(np.float32) / 255.0
-    img = (img - np.asarray(cfg.mean, np.float32)) / np.asarray(cfg.std, np.float32)
+    img = np.ascontiguousarray(s["image"])               # uint8 [H, W, 3]
+    gain = np.ones(3, np.float32)
+    bias = np.zeros(3, np.float32)
+    if augment and cfg.color_jitter > 0:
+        cj = cfg.color_jitter
+        gain = rng.uniform(1 - cj, 1 + cj, 3).astype(np.float32)
+        bias = (rng.uniform(-cj, cj, 3) * 30).astype(np.float32)
     if image_only:
-        return {"image": img, "label_map": s["label_map"]}
+        return {"image": img, "img_gain": gain, "img_bias": bias,
+                "label_map": s["label_map"]}
     boxes, valid, remap = transforms.boxes_from_label_map(
         s["label_map"], cfg.max_instances)
     label = transforms.renumber_label_map(s["label_map"], remap)
-    return {"image": img, "boxes": boxes, "valid": valid, "label_map": label}
+    return {"image": img, "img_gain": gain, "img_bias": bias,
+            "boxes": boxes, "valid": valid, "label_map": label}
 
 
 def make_batch(dataset, indices, cfg: DataConfig, augment: bool,
@@ -51,7 +63,7 @@ def make_batch(dataset, indices, cfg: DataConfig, augment: bool,
     samples = [_prepare_sample(dataset[i], cfg, augment, rng) for i in indices]
     return {
         k: np.stack([s[k] for s in samples]) for k in
-        ("image", "boxes", "valid", "label_map")
+        ("image", "img_gain", "img_bias", "boxes", "valid", "label_map")
     }
 
 

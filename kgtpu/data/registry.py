@@ -8,7 +8,8 @@ from kgtpu.config import DataConfig
 def build_dataset(cfg: DataConfig, split: str = "train"):
     if cfg.dataset in ("synthetic", "synthetic_crowded"):
         from kgtpu.data.synthetic import SyntheticCells
-        n = {"train": 64, "val": 16, "test": 16}.get(split, 16)
+        n = {"train": cfg.synthetic_train_images,
+             "val": 16, "test": 16}.get(split, 16)
         seed = {"train": 0, "val": 7, "test": 13}.get(split, 7)
         return SyntheticCells(size=cfg.input_size, num_images=n, seed=seed,
                               crowded=cfg.dataset.endswith("crowded"))

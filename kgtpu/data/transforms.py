@@ -48,10 +48,20 @@ def apply_affine(sample: dict, m: np.ndarray, out_size: int,
     img = cv2.warpAffine(
         sample["image"], m, (out_size, out_size), flags=cv2.INTER_LINEAR,
         borderMode=cv2.BORDER_CONSTANT, borderValue=0)
-    label = cv2.warpAffine(
-        sample["label_map"].astype(np.float32), m, (out_size, out_size),
-        flags=cv2.INTER_NEAREST, borderMode=cv2.BORDER_CONSTANT,
-        borderValue=0).astype(np.int32)
+    # nearest warp on uint16 ids: label maps carry ≤ max_instances (≤ 2^16)
+    # ids, and the f32 round-trip cost two full-map conversion passes per
+    # sample on the 1-core host (round-2 input-pipeline profile)
+    lab = sample["label_map"]
+    if lab.max() < 2 ** 16:
+        label = cv2.warpAffine(
+            lab.astype(np.uint16), m, (out_size, out_size),
+            flags=cv2.INTER_NEAREST, borderMode=cv2.BORDER_CONSTANT,
+            borderValue=0).astype(np.int32)
+    else:
+        label = cv2.warpAffine(
+            lab.astype(np.float32), m, (out_size, out_size),
+            flags=cv2.INTER_NEAREST, borderMode=cv2.BORDER_CONSTANT,
+            borderValue=0).astype(np.int32)
     if color_jitter > 0 and rng is not None:
         gain = rng.uniform(1 - color_jitter, 1 + color_jitter, 3)
         bias = rng.uniform(-color_jitter, color_jitter, 3) * 30

@@ -32,6 +32,7 @@ from kgtpu.models import KGNet
 from kgtpu.ops.decode import decode_center_wh, decode_peaks
 from kgtpu.ops.group import Boxes, group_keypoints
 from kgtpu.ops.nms import box_nms, merge_scales
+from kgtpu.ops.preprocess import normalize_images
 from kgtpu.ops.roi import paste_masks
 from kgtpu.ops.tiling import (
     extract_tiles,
@@ -105,10 +106,16 @@ def _mask_single(model: KGNet, cfg: Config, params, feat: jnp.ndarray,
 
 
 def build_infer_fn(model: KGNet, cfg: Config) -> Callable:
-    """Jitted (params, images [B, H, W, 3]) → per-image detections + masks."""
+    """Jitted (params, images [B, H, W, 3]) → per-image detections + masks.
+
+    Images are RAW pixels (uint8 or float 0-255); normalization runs on
+    device (ops.preprocess — the host-side version was the profiled input
+    bottleneck and uint8 transfers are 4× smaller)."""
 
     @jax.jit
     def infer(params, images):
+        images = normalize_images(images, cfg.data.mean, cfg.data.std)
+
         def one(image):
             dets, feat = _detect_single(model, cfg, params, image)
             return _mask_single(model, cfg, params, feat, dets,
@@ -124,6 +131,8 @@ def build_detect_fn(model: KGNet, cfg: Config) -> Callable:
 
     @jax.jit
     def detect(params, images):
+        images = normalize_images(images, cfg.data.mean, cfg.data.std)
+
         def one(image):
             dets, _ = _detect_single(model, cfg, params, image)
             return dets
@@ -162,7 +171,8 @@ def build_multiscale_fn(model: KGNet, cfg: Config) -> Callable:
         all_dets = []
         base_feat = None
         for sc in scales:
-            img = images_one[f"{sc:g}"]
+            img = normalize_images(images_one[f"{sc:g}"],
+                                   cfg.data.mean, cfg.data.std)
             cfg_sc = _cfg_at(img.shape[0])
             dets, feat = _detect_single(model, cfg_sc, params, img)
             if sc == 1.0:
@@ -236,6 +246,7 @@ def build_tiled_infer_fn(model: KGNet, cfg: Config,
     n_chunks = (n_tiles + pad) // tile_batch
 
     def infer_tiled(params, image):
+        image = normalize_images(image, cfg.data.mean, cfg.data.std)
         origins = jnp.asarray(origins_pad)
         rects = jnp.asarray(rects_pad)
         tile_ok = jnp.asarray(tile_ok_np)

@@ -15,9 +15,11 @@ from kgtpu.ops.targets import (
 from kgtpu.ops.decode import decode_peaks
 from kgtpu.ops.group import group_keypoints
 from kgtpu.ops.nms import batched_box_iou, box_nms, merge_scales
+from kgtpu.ops.preprocess import normalize_images
 from kgtpu.ops.roi import crop_and_resize, paste_masks
 
 __all__ = [
+    "normalize_images",
     "gaussian_radius",
     "keypoints_from_boxes",
     "render_heatmaps",

@@ -70,11 +70,8 @@ class Predictor:
         sample = resize_sample(
             {"image": image, "label_map": np.zeros((h0, w0), np.int32)},
             canvas)
-        img = sample["image"].astype(np.float32) / 255.0
-        img = ((img - np.asarray(self.cfg.data.mean, np.float32))
-               / np.asarray(self.cfg.data.std, np.float32))
-
-        out = self._infer(self.params, img[None])
+        # raw uint8 in: the jitted infer fn normalizes on device
+        out = self._infer(self.params, sample["image"][None])
         scale = max(h0, w0) / canvas
         boxes = np.asarray(out["boxes"][0]) * scale
         scores = np.asarray(out["scores"][0])

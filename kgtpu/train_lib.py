@@ -26,6 +26,7 @@ from kgtpu import losses
 from kgtpu.config import Config
 from kgtpu.models import KGNet
 from kgtpu.ops import targets as targets_ops
+from kgtpu.ops.preprocess import normalize_images
 from kgtpu.ops.roi import crop_and_resize
 from kgtpu.parallel import batch_sharding, replicated
 
@@ -91,7 +92,9 @@ def loss_fn(params, batch: dict, rng: jax.Array, model: KGNet, cfg: Config,
             batch_stats=None) -> tuple[jnp.ndarray, dict]:
     s = cfg.data.stride
     tcfg = cfg.train
-    images = batch["image"]
+    # raw uint8 pixels in, normalize + color-jitter on device (ops.preprocess)
+    images = normalize_images(batch["image"], cfg.data.mean, cfg.data.std,
+                              batch.get("img_gain"), batch.get("img_bias"))
     b, h, w, _ = images.shape
     hs, ws = h // s, w // s
 

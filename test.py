@@ -143,10 +143,9 @@ def main() -> None:
         cv2.imwrite(os.path.join(cfg.infer.save_dir, f"{iid}_label.png"),
                     label.astype(np.uint16))
         if save_vis and image is not None:
-            from kgtpu.visualize import denormalize, draw_instances
-            vis = draw_instances(
-                denormalize(image, cfg.data.mean, cfg.data.std),
-                label, boxes, dscores, dvalid)
+            from kgtpu.visualize import draw_instances
+            # images stay raw uint8 end-to-end now (device-side normalize)
+            vis = draw_instances(image, label, boxes, dscores, dvalid)
             cv2.imwrite(os.path.join(cfg.infer.save_dir, f"{iid}_vis.png"),
                         cv2.cvtColor(vis, cv2.COLOR_RGB2BGR))
         rec = {

@@ -1,10 +1,12 @@
 """Data layer tests (C2-C3): datasets, transforms, fixed-shape batching."""
 
+import jax
 import numpy as np
 
 from kgtpu.config import DataConfig
 from kgtpu.data import SyntheticCells, batch_iterator, make_batch
 from kgtpu.data import transforms
+from kgtpu.ops.preprocess import normalize_images
 
 
 def test_synthetic_deterministic():
@@ -50,8 +52,15 @@ def test_batch_shapes_and_normalization():
     assert b["boxes"].shape == (2, 8, 4)
     assert b["valid"].shape == (2, 8)
     assert b["label_map"].shape == (2, 64, 64)
-    assert b["image"].dtype == np.float32
-    assert abs(b["image"].mean()) < 3.0   # normalized scale
+    # raw uint8 pixels out; normalization happens on device
+    # (ops.normalize_images) — host float math was the input bottleneck
+    assert b["image"].dtype == np.uint8
+    assert b["img_gain"].shape == (2, 3) and b["img_bias"].shape == (2, 3)
+    # no-jitter eval batch: identity gain/bias
+    np.testing.assert_array_equal(b["img_gain"], np.ones((2, 3), np.float32))
+    ni = np.asarray(jax.jit(
+        lambda x: normalize_images(x, cfg.mean, cfg.std))(b["image"]))
+    assert ni.dtype == np.float32 and abs(ni.mean()) < 3.0
     # boxes must be consistent with the (renumbered) label map
     for bi in range(2):
         for slot in range(8):

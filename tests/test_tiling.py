@@ -85,6 +85,37 @@ def test_stitch_resolves_overlap_by_score():
     assert (lab[:, 2:] == 2).all()     # overlap cols 2-3 go to higher score
 
 
+def test_tiled_sharded_matches_unsharded():
+    """Spatial DP (SURVEY.md §2.10): sharding the tile axis over the
+    8-device mesh must reproduce the single-device tiled numerics exactly —
+    labels equal, scores allclose.  (VERDICT.md round-1 item 4: only the
+    train step had a sharded-equivalence test.)"""
+    from kgtpu.parallel import make_mesh
+
+    cfg = tiny_test_config()
+    cfg = dataclasses.replace(
+        cfg, infer=dataclasses.replace(cfg.infer, tile_size=128,
+                                       tile_overlap=32))
+    state = train_lib.create_train_state(cfg, jax.random.PRNGKey(0))
+    model = KGNet(cfg=cfg.model)
+    img = jnp.asarray(np.random.default_rng(0).normal(size=(224, 224, 3)),
+                      jnp.float32)
+
+    single = build_tiled_infer_fn(model, cfg, (224, 224), tile_batch=8)
+    mesh = make_mesh()
+    assert mesh.devices.size == 8
+    sharded = build_tiled_infer_fn(model, cfg, (224, 224), mesh=mesh,
+                                   tile_batch=8)
+    a = single(state.params, img)
+    b = sharded(state.params, img)
+    np.testing.assert_array_equal(np.asarray(a["label_map"]),
+                                  np.asarray(b["label_map"]))
+    np.testing.assert_allclose(np.asarray(a["scores"]),
+                               np.asarray(b["scores"]), rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(a["valid"]),
+                                  np.asarray(b["valid"]))
+
+
 def test_tiled_pipeline_runs_and_is_consistent():
     """Tiled inference over a 2x2-tile canvas behaves like the single-image
     program away from tile boundaries (untrained net: both mostly empty,
