@@ -29,10 +29,14 @@ def main() -> None:
     p.add_argument("--weights", required=True)
     p.add_argument("--dataset", default="synthetic")
     p.add_argument("--data_dir", default="")
-    p.add_argument("--use_ema", action="store_true", default=True)
+    p.add_argument("--use_ema", type=int, default=1, choices=[0, 1])
     p.add_argument("--conf", default="0.15,0.25,0.3,0.35")
     p.add_argument("--sp", default="1.5,2,3",
                    help="size_prune values (0 disables the wh gate)")
+    # model-config flags — must match how the checkpoint was trained
+    p.add_argument("--roi_size", type=int, default=32)
+    p.add_argument("--inter_inject", action="store_true")
+    p.add_argument("--wh_head", type=int, default=1, choices=[0, 1])
     args = p.parse_args()
 
     import numpy as np
@@ -47,8 +51,13 @@ def main() -> None:
 
     c0 = Config()
     base = dataclasses.replace(
-        c0, data=dataclasses.replace(c0.data, dataset=args.dataset,
-                                     data_dir=args.data_dir))
+        c0,
+        model=dataclasses.replace(c0.model, roi_size=args.roi_size,
+                                  mask_size=2 * args.roi_size,
+                                  inter_inject=args.inter_inject,
+                                  use_wh_head=bool(args.wh_head)),
+        data=dataclasses.replace(c0.data, dataset=args.dataset,
+                                 data_dir=args.data_dir))
     ck = checkpoint.restore(args.weights)
     params = (ck.get("ema_params") if args.use_ema else None) or ck["params"]
     ds = build_dataset(base.data, split="test")

@@ -208,9 +208,17 @@ def make_train_step(model: KGNet, cfg: Config, mesh=None) -> Callable:
         if new_stats is not None:
             new_state = new_state.replace(batch_stats=new_stats)
         if state.ema_params is not None:
+            # EMA warmup (TF-style): effective decay min(d, (1+t)/(10+t)).
+            # A flat d=0.999 leaves 0.999^t of the RANDOM INIT in the
+            # average — 81% after a 208-step run — which silently zeroed
+            # short-schedule --use_ema evals (round-2 debugging: mAP 0.0 on
+            # every run under ~1k steps).  With warmup the early EMA tracks
+            # the raw params and converges to d as t grows.
             d = cfg.train.ema_decay
+            t = new_state.step.astype(jnp.float32)
+            d_t = jnp.minimum(d, (1.0 + t) / (10.0 + t))
             new_state = new_state.replace(ema_params=jax.tree.map(
-                lambda e, p: e * d + p * (1.0 - d),
+                lambda e, p: e * d_t + p * (1.0 - d_t),
                 state.ema_params, new_state.params))
         metrics["grad_norm"] = optax.global_norm(grads)
         return new_state, metrics

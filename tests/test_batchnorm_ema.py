@@ -82,3 +82,33 @@ def test_ema_params_track_training(tmp_path):
     ema_loaded = checkpoint.restore_params(path, use_ema=True)
     np.testing.assert_array_equal(jax.tree.leaves(ema_loaded)[0],
                                   np.asarray(jax.tree.leaves(state.ema_params)[0]))
+
+
+def test_ema_warmup_sheds_init_quickly():
+    """Early-step EMA must track the raw params, not the random init: with a
+    flat decay 0.999 a 200-step run leaves 0.999^200 = 82% of the INIT in
+    the average, which silently zeroed short-schedule --use_ema evals
+    (round-2 regression).  The warmup min(d, (1+t)/(10+t)) bounds the init
+    weight by prod_t (1+t)/(10+t) — already < 3% after 10 steps."""
+    cfg = tiny_test_config()
+    cfg = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, ema_decay=0.999,
+                                       lr_warmup_steps=1))
+    rng = jax.random.PRNGKey(0)
+    state = train_lib.create_train_state(cfg, rng)
+    model = KGNet(cfg=cfg.model)
+    step = train_lib.make_train_step(model, cfg)
+    ds = build_dataset(cfg.data)
+    batch = make_batch(ds, [0, 1], cfg.data, augment=False,
+                       rng=np.random.default_rng(0))
+    p0 = jax.tree.map(np.asarray, state.params)
+    for i in range(10):
+        state, _ = step(state, batch, jax.random.fold_in(rng, i))
+    # distance(EMA, params) must be far smaller than distance(EMA, init):
+    # with flat 0.999 decay the ratio would be ~99/1 the other way
+    d_init = sum(float(np.abs(np.asarray(e) - i0).sum()) for e, i0 in zip(
+        jax.tree.leaves(state.ema_params), jax.tree.leaves(p0)))
+    d_par = sum(float(np.abs(np.asarray(e) - np.asarray(p)).sum())
+                for e, p in zip(jax.tree.leaves(state.ema_params),
+                                jax.tree.leaves(state.params)))
+    assert d_par < 0.2 * d_init, (d_par, d_init)
