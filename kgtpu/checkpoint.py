@@ -27,8 +27,34 @@ def _ckptr() -> ocp.PyTreeCheckpointer:
     return ocp.PyTreeCheckpointer()
 
 
-def save(save_dir: str, epoch: int, state, extra: dict | None = None) -> str:
-    """Write save_dir/model_<epoch> atomically. Returns the path."""
+_async_ckptr: ocp.AsyncCheckpointer | None = None
+
+
+def _actr() -> ocp.AsyncCheckpointer:
+    """Process-wide async checkpointer (orbax serializes its own queue)."""
+    global _async_ckptr
+    if _async_ckptr is None:
+        _async_ckptr = ocp.AsyncCheckpointer(ocp.PyTreeCheckpointHandler())
+    return _async_ckptr
+
+
+def wait() -> None:
+    """Block until every `save(..., block=False)` has finalized on disk."""
+    if _async_ckptr is not None:
+        _async_ckptr.wait_until_finished()
+
+
+def save(save_dir: str, epoch: int, state, extra: dict | None = None,
+         block: bool = True) -> str:
+    """Write save_dir/model_<epoch> atomically. Returns the path.
+
+    block=False queues the write on orbax's async checkpointer and returns
+    immediately (the device→host fetch still happens now, the disk write
+    does not — a sync save measured 10-12 s on this host, stalling one
+    epoch in six on short schedules).  Atomicity is unchanged: the tmp dir
+    is finalized by the background thread; call `wait()` (train.py does at
+    exit and before each subsequent save's log line) before reading it.
+    """
     os.makedirs(save_dir, exist_ok=True)
     path = os.path.abspath(os.path.join(save_dir, f"model_{epoch}"))
     payload = {
@@ -43,7 +69,10 @@ def save(save_dir: str, epoch: int, state, extra: dict | None = None) -> str:
         payload["ema_params"] = state.ema_params
     if extra:
         payload["extra"] = extra
-    _ckptr().save(path, payload, force=True)
+    if block:
+        _ckptr().save(path, payload, force=True)
+    else:
+        _actr().save(path, payload, force=True)
     return path
 
 

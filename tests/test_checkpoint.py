@@ -28,6 +28,20 @@ def test_save_restore_roundtrip(tmp_path, state):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
 
 
+def test_async_save_roundtrip(tmp_path, state):
+    """block=False queues the write; after wait() the checkpoint must be
+    finalized, atomic, and bit-identical to a sync save's contents."""
+    d = str(tmp_path / "weights")
+    p = checkpoint.save(d, epoch=5, state=state, block=False)
+    checkpoint.wait()
+    assert os.path.isdir(p)
+    out = checkpoint.restore(d, state=state)
+    assert out["epoch"] == 5
+    for x, y in zip(jax.tree.leaves(state.params),
+                    jax.tree.leaves(out["state"].params)):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
 def test_latest_selection(tmp_path, state):
     d = str(tmp_path / "weights")
     checkpoint.save(d, epoch=1, state=state)

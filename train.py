@@ -147,9 +147,13 @@ def main() -> None:
                 "img_per_sec": round(seen / max(time.time() - t0, 1e-6), 2),
             }) + "\n")
         if (epoch + 1) % tcfg.save_every_epochs == 0 or epoch == tcfg.num_epochs - 1:
+            # async: the disk write overlaps the next epoch's steps; orbax
+            # queues/serializes saves, and wait() below flushes before exit
             path = checkpoint.save(tcfg.save_dir, epoch, state,
-                                   extra=data_stats)
-            log.info("saved %s", path)
+                                   extra=data_stats, block=False)
+            log.info("saving %s (async)", path)
+    checkpoint.wait()
+    log.info("all checkpoints flushed")
 
 
 if __name__ == "__main__":
