@@ -33,7 +33,7 @@ from kgtpu.ops.decode import decode_center_wh, decode_peaks
 from kgtpu.ops.group import Boxes, group_keypoints
 from kgtpu.ops.nms import box_nms, merge_scales
 from kgtpu.ops.preprocess import normalize_images
-from kgtpu.ops.roi import paste_masks
+from kgtpu.ops.roi import crop_and_resize, paste_masks
 from kgtpu.ops.tiling import (
     extract_tiles,
     ownership_mask,
@@ -105,6 +105,66 @@ def _mask_single(model: KGNet, cfg: Config, params, feat: jnp.ndarray,
     }
 
 
+def _decode_image(cfg: Config, hm: jnp.ndarray, reg: jnp.ndarray,
+                  wh: jnp.ndarray | None) -> Boxes:
+    """Per-image head maps → NMS'd Boxes (stride coords); vmapped over B."""
+    if cfg.group.method == "centernet":
+        cand = decode_center_wh(hm, reg, wh, cfg.group.max_detections,
+                                cfg.group.score_thresh)
+    else:
+        peaks = decode_peaks(hm, reg, cfg.group.max_peaks_per_class)
+        kp_wh = (_peak_wh({"wh": wh}, peaks, cfg, batch_idx=None)
+                 if wh is not None else None)
+        cand = group_keypoints(peaks, cfg.group, kp_wh=kp_wh)
+    return box_nms(cand, cfg.group.nms_iou)
+
+
+def _detect_batch(model: KGNet, cfg: Config, params, images: jnp.ndarray
+                  ) -> tuple[Boxes, jnp.ndarray]:
+    """images [B, H, W, 3] (normalized) → (Boxes stacked over B, feats).
+
+    ONE batched model apply, then the cheap decode/group is vmapped — the
+    previous vmap-of-single-image-apply form compiled the convs under a
+    batching transform and measured ~25% slower (round-2 profiling).
+    """
+    out = model.apply(_vars(params), images)
+    last = out["stacks"][-1]
+    if cfg.group.method == "centernet" and "wh" not in last:
+        raise ValueError(
+            'group.method="centernet" needs model.use_wh_head=True')
+    wh = last.get("wh")
+    if wh is None:
+        dets = jax.vmap(lambda h, r: _decode_image(cfg, h, r, None))(
+            last["hm"], last["reg"])
+    else:
+        dets = jax.vmap(lambda h, r, w: _decode_image(cfg, h, r, w))(
+            last["hm"], last["reg"], wh)
+    return dets, out["feat"]
+
+
+def _mask_batch(model: KGNet, cfg: Config, params, feats: jnp.ndarray,
+                dets: Boxes, height: int, width: int) -> dict:
+    """Stage 2, batched: ONE flat mask-head apply over all B·D crops
+    (crop + paste are pure ops and stay vmapped per image)."""
+    s = cfg.data.stride
+    crops = jax.vmap(
+        lambda f, bx: crop_and_resize(f, bx, cfg.model.roi_size)
+    )(feats, dets.boxes)                                  # [B, D, r, r, F]
+    b, d = crops.shape[:2]
+    flat = crops.reshape((b * d,) + crops.shape[2:])
+    logits = model.apply(_vars(params), flat, method=KGNet.apply_mask_head)
+    probs = jax.nn.sigmoid(logits.reshape((b, d) + logits.shape[1:]))
+    boxes_px = dets.boxes * s
+    label, score_map = jax.vmap(
+        lambda p, bx, sc, v: paste_masks(p, bx, sc, v, height, width,
+                                         thresh=cfg.group.mask_thresh)
+    )(probs, boxes_px, dets.scores, dets.valid)
+    return {
+        "boxes": boxes_px, "scores": dets.scores, "valid": dets.valid,
+        "masks": probs, "label_map": label, "score_map": score_map,
+    }
+
+
 def build_infer_fn(model: KGNet, cfg: Config) -> Callable:
     """Jitted (params, images [B, H, W, 3]) → per-image detections + masks.
 
@@ -115,12 +175,9 @@ def build_infer_fn(model: KGNet, cfg: Config) -> Callable:
     @jax.jit
     def infer(params, images):
         images = normalize_images(images, cfg.data.mean, cfg.data.std)
-
-        def one(image):
-            dets, feat = _detect_single(model, cfg, params, image)
-            return _mask_single(model, cfg, params, feat, dets,
-                                images.shape[1], images.shape[2])
-        return jax.vmap(one)(images)
+        dets, feats = _detect_batch(model, cfg, params, images)
+        return _mask_batch(model, cfg, params, feats, dets,
+                           images.shape[1], images.shape[2])
 
     return infer
 
@@ -132,11 +189,8 @@ def build_detect_fn(model: KGNet, cfg: Config) -> Callable:
     @jax.jit
     def detect(params, images):
         images = normalize_images(images, cfg.data.mean, cfg.data.std)
-
-        def one(image):
-            dets, _ = _detect_single(model, cfg, params, image)
-            return dets
-        return jax.vmap(one)(images)
+        dets, _ = _detect_batch(model, cfg, params, images)
+        return dets
 
     return detect
 
@@ -167,44 +221,55 @@ def build_multiscale_fn(model: KGNet, cfg: Config) -> Callable:
                 cfg.group,
                 max_box_size=cfg.group.max_box_size * img_side / base))
 
-    def _per_image(params, images_one: dict):
-        all_dets = []
-        base_feat = None
-        for sc in scales:
-            img = normalize_images(images_one[f"{sc:g}"],
-                                   cfg.data.mean, cfg.data.std)
-            cfg_sc = _cfg_at(img.shape[0])
-            dets, feat = _detect_single(model, cfg_sc, params, img)
-            if sc == 1.0:
-                base_feat = feat
-            # map boxes from this scale's stride grid to base-scale stride grid
-            factor = base / float(img.shape[0])
-            dets = Boxes(boxes=dets.boxes * factor, scores=dets.scores,
-                         valid=dets.valid)
-            all_dets.append(dets)
-            if cfg.infer.test_flip:
-                # horizontal-flip TTA at this scale: detect on the mirrored
-                # image, un-mirror the boxes (x' = W_stride - x, swapped)
-                fdets, _ = _detect_single(model, cfg_sc, params, img[:, ::-1])
-                ws = img.shape[1] / cfg.data.stride
-                fb = fdets.boxes
-                unflipped = jnp.stack(
-                    [ws - fb[:, 2], fb[:, 1], ws - fb[:, 0], fb[:, 3]],
-                    axis=-1)
-                all_dets.append(Boxes(boxes=unflipped * factor,
-                                      scores=fdets.scores,
-                                      valid=fdets.valid))
-        merged = merge_scales(all_dets, cfg.group.nms_iou,
-                              cfg.group.max_detections)
-        assert base_feat is not None, "test_scales must include 1.0"
-        return _mask_single(model, cfg, params, base_feat, merged, base, base)
-
     @jax.jit
     def infer_ms(params, images_by_scale: dict):
         some = next(iter(images_by_scale.values()))
-        if some.ndim == 3:                       # single image, no batch axis
-            return _per_image(params, images_by_scale)
-        return jax.vmap(lambda imgs: _per_image(params, imgs))(images_by_scale)
+        single = some.ndim == 3                  # single image, no batch axis
+        if single:
+            images_by_scale = {k: v[None] for k, v in images_by_scale.items()}
+
+        all_dets = []                    # Boxes with a leading batch axis
+        base_feat = None
+        for sc in scales:
+            img = normalize_images(images_by_scale[f"{sc:g}"],
+                                   cfg.data.mean, cfg.data.std)
+            cfg_sc = _cfg_at(img.shape[1])
+            dets, feat = _detect_batch(model, cfg_sc, params, img)
+            if sc == 1.0:
+                base_feat = feat
+            # map boxes from this scale's stride grid to base-scale stride grid
+            factor = base / float(img.shape[1])
+            all_dets.append(Boxes(boxes=dets.boxes * factor,
+                                  scores=dets.scores, valid=dets.valid))
+            if cfg.infer.test_flip:
+                # horizontal-flip TTA at this scale: detect on the mirrored
+                # batch, un-mirror the boxes (x' = W_stride - x, swapped)
+                fdets, _ = _detect_batch(model, cfg_sc, params,
+                                         img[:, :, ::-1])
+                ws = img.shape[2] / cfg.data.stride
+                fb = fdets.boxes
+                unflipped = jnp.stack(
+                    [ws - fb[..., 2], fb[..., 1], ws - fb[..., 0],
+                     fb[..., 3]], axis=-1)
+                all_dets.append(Boxes(boxes=unflipped * factor,
+                                      scores=fdets.scores,
+                                      valid=fdets.valid))
+        assert base_feat is not None, "test_scales must include 1.0"
+
+        # cross-variant merge per image (pure op → vmapped over the batch)
+        def merge_one(*flat):
+            per = [Boxes(flat[3 * i], flat[3 * i + 1], flat[3 * i + 2])
+                   for i in range(len(all_dets))]
+            return merge_scales(per, cfg.group.nms_iou,
+                                cfg.group.max_detections)
+
+        flat_args = [x for d_ in all_dets
+                     for x in (d_.boxes, d_.scores, d_.valid)]
+        merged = jax.vmap(merge_one)(*flat_args)
+        out = _mask_batch(model, cfg, params, base_feat, merged, base, base)
+        if single:
+            out = jax.tree.map(lambda x: x[0], out)
+        return out
 
     return infer_ms
 
