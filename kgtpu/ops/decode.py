@@ -24,8 +24,9 @@ as the whole backbone.  The fast path cuts the sort 4×:
   2. The NMS'd map is max-reduced over 2×2 blocks (exact, by the guarantee)
      and top-k runs over H·W/4 candidates; full-resolution indices are
      recovered from the within-block argmax.
-  3. The k winners are re-sorted by (score desc, full-res index asc) so the
-     output order is identical to the naive full-resolution decode.
+  3. One two-key sort by (score desc, full-res index asc) over the block
+     survivors selects and orders the k winners — identical to the naive
+     full-resolution decode for every nonzero candidate, ties included.
 
 `dedup_plateaus=False` restores the reference's keep-all-plateau-pixels
 behavior (every pixel equal to its window max survives) via the full-map
@@ -105,17 +106,17 @@ def _blocked_topk(prob: jnp.ndarray, k: int
     bv = jnp.max(blk, axis=2)                             # (dy, dx) position
     bpos = jnp.argmax(blk, axis=2).astype(jnp.int32)      # [h2, w2, c]
 
-    flat_bv = bv.reshape(h2 * w2, c).T                    # [C, H*W/4]
-    scores, bidx = lax.top_k(flat_bv, k)                  # [C, k]
-    pos = jnp.take_along_axis(
-        bpos.reshape(h2 * w2, c).T, bidx, axis=1)         # [C, k]
-    by, bx = bidx // w2, bidx % w2
-    idx = (by * 2 + pos // 2) * w + bx * 2 + pos % 2      # full-res flat
-
-    # exact output tie order: top_k above breaks score ties by BLOCK index;
-    # re-sort the k winners by (score desc, full-res index asc)
-    scores, idx = lax.sort((-scores, idx), dimension=1, num_keys=2)
-    return -scores, idx
+    # full-res flat index of each block's survivor, then ONE two-key sort by
+    # (score desc, full-res index asc) — exact greedy order including ties
+    # at the k boundary (a top_k + re-sort broke k-boundary ties by block
+    # index instead)
+    by = jnp.arange(h2, dtype=jnp.int32)[:, None, None]
+    bx = jnp.arange(w2, dtype=jnp.int32)[None, :, None]
+    fidx = (by * 2 + bpos // 2) * w + bx * 2 + bpos % 2   # [h2, w2, c]
+    neg = -bv.reshape(h2 * w2, c).T                       # [C, H*W/4]
+    idxs = fidx.reshape(h2 * w2, c).T
+    neg_s, idx_s = lax.sort((neg, idxs), dimension=1, num_keys=2)
+    return -neg_s[:, :k], idx_s[:, :k]
 
 
 def decode_peaks(

@@ -75,6 +75,30 @@ def test_decode_dedup_matches_oracle_on_ties():
     np.testing.assert_array_equal(np.asarray(got.indices)[pos], want_i[pos])
 
 
+def test_blocked_topk_equals_full_sort():
+    """The 4×-smaller blocked top-k must return exactly what a full-map
+    top_k returns on the same plateau-deduplicated NMS'd map (values AND
+    indices), across random maps with and without ties."""
+    from jax import lax
+
+    for seed, tie in ((0, False), (1, True), (2, True)):
+        rng = np.random.default_rng(seed)
+        if tie:
+            hm = rng.integers(0, 5, size=(32, 32, 3)).astype(np.float32)
+        else:
+            hm = rng.normal(size=(32, 32, 3)).astype(np.float32)
+        prob = decode._maxpool_nms(jnp.asarray(hm), 3, True)
+        k = 16
+        bs, bi = decode._blocked_topk(prob, k)
+        flat = prob.reshape(32 * 32, 3).T
+        fs, fi = lax.top_k(flat, k)
+        # full top_k tie order is flat-index asc == the blocked re-sort order
+        np.testing.assert_allclose(np.asarray(bs), np.asarray(fs), atol=0)
+        pos = np.asarray(fs) > 0          # zero rows are arbitrary padding
+        np.testing.assert_array_equal(np.asarray(bi)[pos],
+                                      np.asarray(fi)[pos])
+
+
 def test_decode_batch():
     rng = np.random.default_rng(1)
     hm = rng.normal(size=(2, 16, 16, 5)).astype(np.float32)
