@@ -98,12 +98,25 @@ def resolve(path_or_dir: str) -> str:
     return os.path.abspath(latest)
 
 
+def _restore_numpy(path: str) -> dict:
+    """Restore every leaf as a host numpy array, ignoring the sharding the
+    checkpoint was saved with — a checkpoint written on one topology (the
+    TPU) must load on any other (e.g. an 8-device CPU mesh; bare
+    `restore()` raises 'sharding ... should be specified, concrete' there).
+    """
+    ck = _ckptr()
+    tree = ck.metadata(path).item_metadata.tree
+    args = jax.tree.map(
+        lambda _: ocp.RestoreArgs(restore_type=np.ndarray), tree)
+    return ck.restore(path, restore_args=args)
+
+
 def restore(path_or_dir: str, state=None) -> dict:
     """Restore a payload; with `state`, restores with matching structure and
     returns {"state": new_state, "epoch": int}."""
     path = resolve(path_or_dir)
     if state is None:
-        return _ckptr().restore(path)
+        return _restore_numpy(path)
     template = {
         "params": state.params,
         "opt_state": state.opt_state,
@@ -135,7 +148,7 @@ def restore_bundle(path_or_dir: str, use_ema: bool = False) -> tuple[dict, dict]
     either.  With use_ema=True, EMA params are preferred when present.
     extra: the free-form stats payload ({} if the checkpoint predates it).
     """
-    payload = _ckptr().restore(resolve(path_or_dir))
+    payload = _restore_numpy(resolve(path_or_dir))
     params = payload.get("ema_params") if use_ema else None
     params = params if params is not None else payload["params"]
     params = jax.tree.map(np.asarray, params)

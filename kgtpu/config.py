@@ -296,6 +296,9 @@ def build_test_parser() -> argparse.ArgumentParser:
     p.add_argument("--coco_json", default="",
                    help="also write predictions as COCO results JSON "
                         "(bbox + uncompressed-RLE segmentation per instance)")
+    p.add_argument("--ngpus", "--num_devices", dest="num_devices", type=int,
+                   default=0, help="batch-DP inference devices (0 = single; "
+                                   "single-scale and --tiled paths)")
     p.add_argument("--tile_size", type=int, default=512)
     p.add_argument("--tile_overlap", type=int, default=64)
     p.add_argument("--profile_dir", default="")

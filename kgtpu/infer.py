@@ -165,21 +165,32 @@ def _mask_batch(model: KGNet, cfg: Config, params, feats: jnp.ndarray,
     }
 
 
-def build_infer_fn(model: KGNet, cfg: Config) -> Callable:
+def build_infer_fn(model: KGNet, cfg: Config, mesh=None) -> Callable:
     """Jitted (params, images [B, H, W, 3]) → per-image detections + masks.
 
     Images are RAW pixels (uint8 or float 0-255); normalization runs on
     device (ops.preprocess — the host-side version was the profiled input
-    bottleneck and uint8 transfers are 4× smaller)."""
+    bottleneck and uint8 transfers are 4× smaller).
 
-    @jax.jit
+    With `mesh`, the batch axis is sharded over the mesh's "data" axis and
+    params are replicated — batch-DP inference (SURVEY.md §2.10), the
+    serving analogue of the sharded train step.  Pass a batch divisible by
+    the mesh size; every per-image stage partitions trivially, so XLA emits
+    no cross-chip collectives at all.
+    """
+
     def infer(params, images):
         images = normalize_images(images, cfg.data.mean, cfg.data.std)
         dets, feats = _detect_batch(model, cfg, params, images)
         return _mask_batch(model, cfg, params, feats, dets,
                            images.shape[1], images.shape[2])
 
-    return infer
+    if mesh is None:
+        return jax.jit(infer)
+    from kgtpu.parallel import batch_sharding, replicated
+    return jax.jit(infer, in_shardings=(replicated(mesh),
+                                        batch_sharding(mesh)),
+                   out_shardings=batch_sharding(mesh))
 
 
 def build_detect_fn(model: KGNet, cfg: Config) -> Callable:

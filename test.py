@@ -117,13 +117,28 @@ def main() -> None:
     multiscale = tuple(scales) != (1.0,) or cfg.infer.test_flip
     if tiled and multiscale:
         raise SystemExit("--tiled and multi-scale --test_scales are exclusive")
+    n_dev = getattr(args, "num_devices", 0) or 1
+    mesh = None
+    if n_dev > 1:
+        from kgtpu.parallel import make_mesh
+        mesh = make_mesh(n_dev)
+        log.info("batch-DP inference over %d devices", n_dev)
+        if cfg.infer.batch_size % n_dev:
+            raise SystemExit(
+                f"--batch_size {cfg.infer.batch_size} must be divisible by "
+                f"--ngpus {n_dev}")
     if tiled:
         from kgtpu.infer import build_tiled_infer_fn
         infer = build_tiled_infer_fn(
-            model, cfg, (cfg.infer.input_size, cfg.infer.input_size))
+            model, cfg, (cfg.infer.input_size, cfg.infer.input_size),
+            mesh=mesh)
+    elif multiscale:
+        infer = build_multiscale_fn(model, cfg)
+        if mesh is not None:
+            raise SystemExit("--ngpus applies to the single-scale and "
+                             "--tiled paths (TTA is per-scale-shaped)")
     else:
-        infer = (build_multiscale_fn if multiscale else build_infer_fn)(
-            model, cfg)
+        infer = build_infer_fn(model, cfg, mesh=mesh)
     ds = build_dataset(cfg.data, split="test")
     os.makedirs(cfg.infer.save_dir, exist_ok=True)
     rng = np.random.default_rng(0)

@@ -34,6 +34,30 @@ def test_infer_shapes_and_jit():
     assert out["label_map"].dtype == jnp.int32
 
 
+def test_infer_sharded_matches_unsharded():
+    """Batch-DP inference (build_infer_fn(mesh=...)) over the 8-device CPU
+    mesh must reproduce single-device outputs exactly — SURVEY.md §2.10's
+    serving analogue of the sharded train step."""
+    from kgtpu.parallel import make_mesh
+
+    cfg, model, params = _setup()
+    rng = np.random.default_rng(0)
+    imgs = jnp.asarray(rng.integers(0, 256, size=(8, 128, 128, 3),
+                                    dtype=np.uint8))
+    single = build_infer_fn(model, cfg)
+    mesh = make_mesh()
+    assert mesh.devices.size == 8
+    sharded = build_infer_fn(model, cfg, mesh=mesh)
+    a = single(params, imgs)
+    b = sharded(params, imgs)
+    np.testing.assert_array_equal(np.asarray(a["label_map"]),
+                                  np.asarray(b["label_map"]))
+    np.testing.assert_allclose(np.asarray(a["scores"]),
+                               np.asarray(b["scores"]), rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(a["valid"]),
+                                  np.asarray(b["valid"]))
+
+
 def test_infer_untrained_mostly_empty():
     """Untrained net (hm prior ~0.1 < score_thresh with decay) → few/no dets;
     label map ids must stay within [0, D]."""
