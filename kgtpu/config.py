@@ -165,6 +165,16 @@ class InferConfig:
     test_scales: tuple[float, ...] = (1.0,)   # multi-scale TTA scales
     test_flip: bool = False            # add horizontal-flip TTA (merged on
                                        # device like the extra scales)
+    tta_vote: str = "mean"             # cross-variant merge scoring:
+                                       #   "max"  = classic NMS merge (keeps
+                                       #            every variant's ghosts)
+                                       #   "mean" = rescore by cross-variant
+                                       #            agreement (ops.nms
+                                       #            merge_scales docstring)
+    tta_vote_iou: float = 0.5          # IoU for a variant box to support a
+                                       # merged box
+    tta_vote_thresh: float = 0.0       # drop merged boxes whose voted score
+                                       # falls below this (0 keeps all)
     input_size: int = 512              # inference canvas (pad/resize to square)
     batch_size: int = 1
     # whole-slide sliding-window tiling (BASELINE config 5)
@@ -202,13 +212,91 @@ def tiny_test_config() -> Config:
 
 
 # ---------------------------------------------------------------------------
+# Config <-> JSON (self-describing checkpoints, VERDICT r2 item 5)
+# ---------------------------------------------------------------------------
+
+def config_to_json(cfg: Config) -> str:
+    """Serialize the full config tree (stored inside every checkpoint so
+    `test.py --weights <dir>` can rebuild the exact trained architecture
+    with zero flags; the reference's `test.py` needs only a weights file
+    because its architecture lives in code — here it lives in config)."""
+    import json
+
+    return json.dumps(dataclasses.asdict(cfg), sort_keys=True)
+
+
+def config_from_json(s: str) -> Config:
+    """Inverse of `config_to_json`.  Unknown keys (from a future version)
+    are ignored; missing keys keep current defaults; list-typed JSON values
+    are coerced back to the tuples the dataclasses declare."""
+    import json
+
+    raw = json.loads(s)
+
+    def build(dc_type, d: dict):
+        kwargs = {}
+        for f in dataclasses.fields(dc_type):
+            if f.name not in d:
+                continue
+            v = d[f.name]
+            kwargs[f.name] = tuple(v) if isinstance(v, list) else v
+        return dc_type(**kwargs)
+
+    return Config(
+        model=build(ModelConfig, raw.get("model", {})),
+        data=build(DataConfig, raw.get("data", {})),
+        group=build(GroupConfig, raw.get("group", {})),
+        train=build(TrainConfig, raw.get("train", {})),
+        infer=build(InferConfig, raw.get("infer", {})),
+    )
+
+
+def apply_model_overrides(model: ModelConfig, a: argparse.Namespace,
+                          explicit: set[str]) -> ModelConfig:
+    """Override a checkpoint-stored ModelConfig with the architecture flags
+    the user explicitly passed (everything not passed keeps the trained
+    value — the reference-parity "point at weights, get the model" rule)."""
+    kw = {}
+    if "backbone" in explicit:
+        kw["backbone"] = a.backbone
+    if "num_stacks" in explicit:
+        kw["num_stacks"] = a.num_stacks
+    if "norm" in explicit:
+        kw["norm"] = a.norm
+    if "wh_head" in explicit or "decode" in explicit:
+        kw["use_wh_head"] = bool(a.wh_head) or a.decode == "centernet"
+    if "inter_inject" in explicit:
+        kw["inter_inject"] = a.inter_inject
+    if "roi_size" in explicit:
+        kw["roi_size"] = a.roi_size
+        kw["mask_size"] = a.mask_size or 2 * a.roi_size
+    if "mask_size" in explicit and a.mask_size:
+        kw["mask_size"] = a.mask_size
+    return dataclasses.replace(model, **kw)
+
+
+def explicit_cli_dests(parser: argparse.ArgumentParser,
+                       argv: list[str] | None = None) -> set[str]:
+    """Which argparse dests the user explicitly passed on the command line
+    (vs. received as defaults) — the merge rule for self-describing
+    checkpoints is "checkpoint config is the base, explicit flags override"."""
+    import copy
+
+    probe = copy.deepcopy(parser)
+    for a in probe._actions:
+        a.default = argparse.SUPPRESS
+    ns, _ = probe.parse_known_args(argv)
+    return set(vars(ns))
+
+
+# ---------------------------------------------------------------------------
 # argparse shim — reference-style flags (SURVEY.md C1, OPEN-8 defaults)
 # ---------------------------------------------------------------------------
 
 def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--dataset", default="dsb2018",
-                   choices=["synthetic", "synthetic_crowded", "dsb2018",
-                            "neural_cells"])
+                   choices=["synthetic", "synthetic_crowded",
+                            "synthetic_hard", "dsb2018", "neural_cells"])
     p.add_argument("--data_dir", default="")
     p.add_argument("--input_size", type=int, default=512)
     p.add_argument("--backbone", default="hourglass",
@@ -292,6 +380,13 @@ def build_test_parser() -> argparse.ArgumentParser:
                    help="comma-separated TTA scales, e.g. 0.75,1.0,1.25")
     p.add_argument("--test_flip", action="store_true",
                    help="add horizontal-flip TTA (merged on device)")
+    p.add_argument("--tta_vote", default="mean", choices=["max", "mean"],
+                   help="TTA merge scoring: mean = rescore by cross-variant "
+                        "agreement (kills per-variant ghosts), max = classic "
+                        "NMS merge")
+    p.add_argument("--tta_vote_thresh", type=float, default=0.0,
+                   help="drop TTA-merged boxes whose agreement-voted score "
+                        "is below this (only with --tta_vote mean)")
     p.add_argument("--save_dir", default="results")
     p.add_argument("--coco_json", default="",
                    help="also write predictions as COCO results JSON "
@@ -380,6 +475,8 @@ def config_from_test_args(a: argparse.Namespace) -> Config:
         train=c.train,
         infer=dataclasses.replace(c.infer, weights=a.weights, test_scales=scales,
                                   test_flip=a.test_flip,
+                                  tta_vote=a.tta_vote,
+                                  tta_vote_thresh=a.tta_vote_thresh,
                                   input_size=a.input_size, save_dir=a.save_dir,
                                   tile_size=a.tile_size,
                                   tile_overlap=a.tile_overlap,

@@ -272,7 +272,10 @@ def build_multiscale_fn(model: KGNet, cfg: Config) -> Callable:
             per = [Boxes(flat[3 * i], flat[3 * i + 1], flat[3 * i + 2])
                    for i in range(len(all_dets))]
             return merge_scales(per, cfg.group.nms_iou,
-                                cfg.group.max_detections)
+                                cfg.group.max_detections,
+                                vote=cfg.infer.tta_vote,
+                                vote_iou=cfg.infer.tta_vote_iou,
+                                vote_thresh=cfg.infer.tta_vote_thresh)
 
         flat_args = [x for d_ in all_dets
                      for x in (d_.boxes, d_.scores, d_.valid)]

