@@ -28,6 +28,10 @@ def main() -> None:
     from kgtpu.data import build_dataset
     from kgtpu.data.transforms import resize_sample
 
+    if os.environ.get("KGTPU_PLATFORM"):
+        import jax
+        jax.config.update("jax_platforms", os.environ["KGTPU_PLATFORM"])
+
     args = build_eval_parser().parse_args()
 
     with open(os.path.join(args.pred_dir, "detections.json")) as f:

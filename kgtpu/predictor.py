@@ -42,8 +42,14 @@ class Predictor:
     @classmethod
     def from_checkpoint(cls, path: str, cfg: Config | None = None,
                         use_ema: bool = False) -> "Predictor":
-        cfg = cfg or Config()
         params, extra = ckpt.restore_bundle(path, use_ema=use_ema)
+        if cfg is None:
+            # self-describing checkpoints: rebuild the trained architecture
+            # from the stored config; inference knobs stay at defaults.  An
+            # explicit `cfg` argument overrides everything.
+            stored = ckpt.decode_config(extra)
+            cfg = Config() if stored is None else dataclasses.replace(
+                Config(), model=stored.model)
         side = float(extra.get("max_gt_box_side_px", 0.0))
         train_canvas = float(extra.get("train_input_size", 0.0))
         # fallback only: with wh-head size pruning active (the default) no

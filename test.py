@@ -32,6 +32,12 @@ def main() -> None:
     import jax
     import numpy as np
 
+    # the axon sitecustomize pins jax_platforms programmatically, so the
+    # plain JAX_PLATFORMS env var is ignored (CLAUDE.md trap); this explicit
+    # override makes CPU-backend CLI runs (tests, debugging) possible
+    if os.environ.get("KGTPU_PLATFORM"):
+        jax.config.update("jax_platforms", os.environ["KGTPU_PLATFORM"])
+
     if getattr(args, "debug_nans", False):
         from kgtpu.utils import enable_nan_debugging
         enable_nan_debugging()
@@ -49,6 +55,28 @@ def main() -> None:
     from kgtpu.models import KGNet, required_divisor
 
     tiled = getattr(args, "tiled", False)
+
+    if cfg.infer.weights:
+        params, ck_extra = checkpoint.restore_bundle(
+            cfg.infer.weights, use_ema=getattr(args, "use_ema", False))
+        # self-describing checkpoints (VERDICT r2 item 5): the architecture
+        # the weights were trained with is stored in the checkpoint; rebuild
+        # the model from it and treat explicitly-passed flags as overrides,
+        # so `python test.py --weights <dir>` needs zero architecture flags
+        stored = checkpoint.decode_config(ck_extra)
+        if stored is not None:
+            from kgtpu.config import (apply_model_overrides,
+                                      build_test_parser, explicit_cli_dests)
+            explicit = explicit_cli_dests(build_test_parser())
+            cfg = dataclasses.replace(
+                cfg, model=apply_model_overrides(stored.model, args, explicit))
+            log.info("model architecture from checkpoint config: backbone=%s "
+                     "num_stacks=%d norm=%s roi_size=%d (explicit CLI flags "
+                     "override)", cfg.model.backbone, cfg.model.num_stacks,
+                     cfg.model.norm, cfg.model.roi_size)
+    else:
+        params = None
+
     divisor = required_divisor(cfg.model)
     # in tiled mode the network sees tile_size² tiles; only that side must
     # be divisible (the slide canvas itself has no constraint)
@@ -62,8 +90,6 @@ def main() -> None:
             f"to multiples automatically")
 
     if cfg.infer.weights:
-        params, ck_extra = checkpoint.restore_bundle(
-            cfg.infer.weights, use_ema=getattr(args, "use_ema", False))
         # fail fast + clearly on structure mismatch (wrong --backbone/--norm
         # flags for this checkpoint, or a checkpoint from an older layout)
         expect = train_lib.create_train_state(cfg, jax.random.PRNGKey(0))

@@ -71,3 +71,58 @@ def test_eval_parser():
     args = build_eval_parser().parse_args(
         ["--pred_dir", "/p", "--protocol", "coco"])
     assert args.pred_dir == "/p" and args.protocol == "coco"
+
+
+def test_config_json_roundtrip():
+    import dataclasses
+
+    from kgtpu.config import (Config, ModelConfig, config_from_json,
+                              config_to_json, tiny_test_config)
+
+    for cfg in (Config(), tiny_test_config(),
+                dataclasses.replace(
+                    tiny_test_config(),
+                    model=ModelConfig(backbone="resnet_fpn", norm="batch",
+                                      use_wh_head=False, num_stacks=3))):
+        assert config_from_json(config_to_json(cfg)) == cfg
+
+
+def test_checkpoint_config_encode_decode():
+    from kgtpu import checkpoint
+    from kgtpu.config import tiny_test_config
+
+    cfg = tiny_test_config()
+    blob = checkpoint.encode_config(cfg)
+    assert checkpoint.decode_config({"config_json": blob}) == cfg
+    assert checkpoint.decode_config({}) is None       # pre-r3 checkpoint
+
+
+def test_explicit_cli_dests_and_model_overrides():
+    import dataclasses
+
+    from kgtpu.config import (ModelConfig, apply_model_overrides,
+                              explicit_cli_dests)
+
+    parser = build_test_parser()
+    explicit = explicit_cli_dests(
+        parser, ["--backbone", "resnet_fpn", "--roi_size", "16",
+                 "--weights", "/w"])
+    assert {"backbone", "roi_size", "weights"} <= explicit
+    assert "num_stacks" not in explicit and "norm" not in explicit
+
+    stored = ModelConfig(backbone="hourglass_lite", num_stacks=1,
+                         base_channels=48, hg_depth=3, norm="batch",
+                         roi_size=8, mask_size=16)
+    args = parser.parse_args(["--backbone", "resnet_fpn", "--roi_size", "16",
+                              "--weights", "/w"])
+    merged = apply_model_overrides(stored, args, explicit)
+    # explicit flags override; everything else keeps the trained values
+    assert merged.backbone == "resnet_fpn"
+    assert merged.roi_size == 16 and merged.mask_size == 32
+    assert merged.num_stacks == 1 and merged.base_channels == 48
+    assert merged.hg_depth == 3 and merged.norm == "batch"
+    # nothing explicit -> stored config untouched
+    args_d = parser.parse_args(["--weights", "/w"])
+    assert apply_model_overrides(
+        stored, args_d, explicit_cli_dests(parser, ["--weights", "/w"])
+    ) == stored

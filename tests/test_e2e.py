@@ -72,9 +72,12 @@ def test_single_scale_ap_floor(trained):
     cfg, model, state, val = trained
     recs = _eval_single(cfg, model, state, val)
     res = evaluate.evaluate_dsb2018(recs)
-    assert res["mAP_dsb2018"] > 0.15, res
+    # floors at ~70% of the measured tiny-model level (mAP 0.32 / AP50 0.84
+    # at this seed, VERDICT r2 item 6) so a 2x quality regression fails; the
+    # remaining margin absorbs seed noise
+    assert res["mAP_dsb2018"] > 0.22, res
     coco = evaluate.evaluate_coco(recs)
-    assert coco["AP50"] > 0.3, coco
+    assert coco["AP50"] > 0.58, coco
 
 
 def test_tta_at_least_single_scale(trained):
@@ -105,6 +108,107 @@ def test_tta_at_least_single_scale(trained):
     # comparison is too noisy on an under-trained tiny model to gate on)
     assert n_tta <= 1.8 * max(n_single, 1), (n_tta, n_single)
     assert tta["AP_coco"] >= single["AP_coco"] - 0.08, (tta, single)
+
+
+def test_cli_roundtrip_self_describing_checkpoint(trained, tmp_path):
+    """VERDICT r2 items 5+6 end to end: (a) `test.py --weights <dir>` with
+    ZERO architecture flags rebuilds the trained non-default model from the
+    config stored in the checkpoint (without it, default flags build the full
+    hourglass and the structure check exits); (b) the written
+    <id>_label.png + <id>.json pairs re-read by eval.py reproduce the
+    in-memory AP exactly — pinning the test.py↔eval.py slot-alignment
+    contract."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    from kgtpu import checkpoint, evaluate
+    from kgtpu.data import build_dataset
+
+    cfg, model, state, val = trained
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    wdir = str(tmp_path / "weights")
+    checkpoint.save(wdir, epoch=0, state=state,
+                    extra={"config_json": checkpoint.encode_config(cfg)})
+
+    out_dir = str(tmp_path / "results")
+    env = {**os.environ, "KGTPU_PLATFORM": "cpu"}
+    # group flags pinned to the tiny config so the CLI and the in-memory
+    # reference run the identical program; NO architecture flags passed
+    r = subprocess.run(
+        [sys.executable, os.path.join(root, "test.py"),
+         "--dataset", "synthetic", "--weights", wdir,
+         "--input_size", str(SIZE), "--save_dir", out_dir,
+         "--K", "32", "--max_detections", "32", "--batch_size", "4"],
+        env=env, capture_output=True, text=True, timeout=900)
+    assert r.returncode == 0, r.stderr[-2000:]
+
+    r = subprocess.run(
+        [sys.executable, os.path.join(root, "eval.py"),
+         "--pred_dir", out_dir, "--dataset", "synthetic",
+         "--protocol", "coco"],
+        env=env, capture_output=True, text=True, timeout=300)
+    assert r.returncode == 0, r.stderr[-2000:]
+    cli = json.loads(r.stdout.strip().splitlines()[-1])
+    assert cli["num_images"] == 16
+
+    # in-memory reference over the same test split
+    infer = build_infer_fn(model, cfg)
+    ds = build_dataset(cfg.data, split="test")
+    nprng = np.random.default_rng(0)
+    recs = []
+    for i in range(len(ds)):
+        s = _prepare_sample(ds[i], cfg.data, augment=False, rng=nprng)
+        out = infer(state.params, s["image"][None])
+        recs.append({"pred_label": np.asarray(out["label_map"][0]),
+                     "scores": np.asarray(out["scores"][0]),
+                     "gt_label": s["label_map"]})
+    mem = evaluate.evaluate_coco(recs)
+    assert abs(cli["AP_coco"] - mem["AP_coco"]) < 1e-6, (cli, mem)
+    assert abs(cli["AP50"] - mem["AP50"]) < 1e-6, (cli, mem)
+
+
+@pytest.fixture(scope="module")
+def trained_crowded():
+    """A second tiny model trained on the crowded variant — the
+    ghost-suppression stress case (VERDICT r2 items 1/6: the round-2
+    flagship claim had no e2e gate)."""
+    cfg = _cfg()
+    cfg = dataclasses.replace(
+        cfg, data=dataclasses.replace(cfg.data, dataset="synthetic_crowded",
+                                      max_instances=64))
+    rng = jax.random.PRNGKey(0)
+    state = train_lib.create_train_state(cfg, rng)
+    model = KGNet(cfg=cfg.model)
+    step = train_lib.make_train_step(model, cfg)
+    ds = build_dataset(cfg.data)
+    first = last = None
+    for i, batch in enumerate(
+            batch_iterator(ds, cfg.data, 2, steps=200, seed=0)):
+        state, m = step(state, batch, jax.random.fold_in(rng, i))
+        if first is None:
+            first = float(m["loss"])
+        last = float(m["loss"])
+    assert last < 0.6 * first, f"no learning: {first} -> {last}"
+    val = build_dataset(cfg.data, split="val")
+    return cfg, model, state, val
+
+
+def test_crowded_ap_floor_and_ghost_gate(trained_crowded):
+    """Crowded-scene e2e: (a) AP floor holds with the wh-head size gate on
+    (the default); (b) disabling the gate measurably collapses mAP — the
+    data-free ghost suppression the grouper's size_prune exists for
+    (measured at this seed: gated 0.21 vs ungated 0.10)."""
+    cfg, model, state, val = trained_crowded
+    gated = evaluate.evaluate_dsb2018(_eval_single(cfg, model, state, val))
+    assert gated["mAP_dsb2018"] > 0.12, gated
+    cfg_off = dataclasses.replace(
+        cfg, group=dataclasses.replace(cfg.group, size_prune=0.0))
+    ungated = evaluate.evaluate_dsb2018(
+        _eval_single(cfg_off, model, state, val))
+    assert gated["mAP_dsb2018"] > ungated["mAP_dsb2018"] + 0.03, (
+        gated, ungated)
 
 
 def test_tiled_ap_floor(trained):

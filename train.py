@@ -24,6 +24,11 @@ def main() -> None:
 
     import jax
 
+    # explicit platform override for CPU-backend CLI runs (the axon
+    # sitecustomize pins jax_platforms, so the env var alone is ignored)
+    if os.environ.get("KGTPU_PLATFORM"):
+        jax.config.update("jax_platforms", os.environ["KGTPU_PLATFORM"])
+
     if getattr(args, "debug_nans", False):
         from kgtpu.utils import enable_nan_debugging
         enable_nan_debugging()
@@ -112,6 +117,9 @@ def main() -> None:
         "p99_gt_box_side_px": np.asarray(p99_side, np.float32),
         # consumers rescale the size prior when inferring at another canvas
         "train_input_size": np.asarray(cfg.data.input_size, np.float32),
+        # self-describing checkpoints: test.py/Predictor rebuild the model
+        # architecture from this; CLI flags become overrides
+        "config_json": checkpoint.encode_config(cfg),
     }
     log.info("dataset stats over all %d images (%.1fs): GT box side "
              "max %.1f / p99 %.1f px at canvas %d (stored in checkpoints)",
