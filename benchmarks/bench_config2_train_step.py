@@ -10,7 +10,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 import numpy as np
 
-from benchmarks.common import bench_fn, emit
+from benchmarks.common import bench_fn, cost_analysis, device_peak, emit
 from kgtpu import train_lib
 from kgtpu.config import Config
 from kgtpu.data import build_dataset, make_batch
@@ -18,13 +18,14 @@ from kgtpu.models import KGNet
 
 
 def main():
+    bs = int(os.environ.get("KGTPU_BENCH_BATCH", "8"))
     cfg = Config()
     rng = jax.random.PRNGKey(0)
     state = train_lib.create_train_state(cfg, rng)
     model = KGNet(cfg=cfg.model)
 
     ds = build_dataset(cfg.data)   # synthetic 512²
-    batch = make_batch(ds, list(range(8)), cfg.data, augment=False,
+    batch = make_batch(ds, list(range(bs)), cfg.data, augment=False,
                        rng=np.random.default_rng(0))
     batch = {k: jax.device_put(v) for k, v in batch.items()}
 
@@ -35,11 +36,24 @@ def main():
         return state.apply_gradients(grads=grads), metrics
 
     # bench the step without donation (bench_fn re-uses inputs)
-    r = bench_fn(lambda s, b, k: step(s, b, k)[1], state, batch, rng,
-                 iters=10, warmup=2)
-    emit({"metric": "config2_train_step_batch8_img_per_sec",
-          "value": round(8 * r["calls_per_sec"], 2), "unit": "img/s",
+    fn = lambda s, b, k: step(s, b, k)[1]
+    r = bench_fn(fn, state, batch, rng, iters=10, warmup=2)
+    # train MFU / roofline position (VERDICT r2 item 3): FLOPs of the exact
+    # fwd+bwd+update program vs the bf16 peak, and the HBM-bandwidth bound
+    flops, nbytes = cost_analysis(fn, state, batch, rng)
+    peak_fl, peak_bw = device_peak()
+    img_s = bs * r["calls_per_sec"]
+    mfu = (flops / bs) * img_s / peak_fl if peak_fl else None
+    # time the program would take if purely HBM-bound at spec bandwidth
+    bw_bound_ms = 1000 * nbytes / peak_bw if peak_bw else None
+    emit({"metric": f"config2_train_step_batch{bs}_img_per_sec",
+          "value": round(img_s, 2), "unit": "img/s",
           "ms_per_step": round(1000 * r["sec_per_call"], 1),
+          "gflops_per_img": round(flops / bs / 1e9, 2),
+          "train_mfu": round(mfu, 4) if mfu is not None else None,
+          "hbm_gb_per_step": round(nbytes / 1e9, 2),
+          "hbm_bound_ms_per_step": (round(bw_bound_ms, 1)
+                                    if bw_bound_ms is not None else None),
           "vs_baseline": None})
 
 

@@ -34,6 +34,29 @@ def bench_fn(fn, *args, iters: int = 10, warmup: int = 2) -> dict:
     return {"sec_per_call": dt / iters, "calls_per_sec": iters / dt}
 
 
+def cost_analysis(fn, *args) -> tuple[float, float]:
+    """(flops, bytes_accessed) of jit(fn)(*args)'s compiled program.  Shares
+    the jit cache with later calls of the same jitted fn."""
+    c = jax.jit(fn).lower(*args).compile().cost_analysis() or {}
+    if isinstance(c, (list, tuple)):
+        c = c[0] if c else {}
+    return (float(c.get("flops", 0.0)),
+            float(c.get("bytes accessed", c.get("bytes_accessed", 0.0))))
+
+
+def device_peak() -> tuple[float | None, float | None]:
+    """(bf16 peak FLOP/s, HBM bandwidth B/s) for the current device
+    generation — the two roofline ceilings.  (v5e: 197 TFLOP/s bf16,
+    819 GB/s HBM; public spec sheet numbers.)"""
+    kind = getattr(jax.devices()[0], "device_kind", "").lower()
+    for tag, fl, bw in (("v5 lite", 197e12, 819e9), ("v5e", 197e12, 819e9),
+                        ("v5p", 459e12, 2765e9), ("v4", 275e12, 1228e9),
+                        ("v6", 918e12, 1640e9)):
+        if tag in kind:
+            return fl, bw
+    return None, None
+
+
 def emit(payload: dict) -> None:
     payload.setdefault("backend", jax.default_backend())
     payload.setdefault("device", str(jax.devices()[0]))

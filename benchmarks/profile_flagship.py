@@ -13,6 +13,13 @@ Stage programs re-run the upstream stages to produce their inputs, so the
 per-stage time is obtained by differencing cumulative programs — this keeps
 every measurement a single jit with no host round trips in the middle.
 
+The stages are the SHIPPING batched path (`_detect_batch`/`_mask_batch`,
+exactly what `build_infer_fn` compiles) — the round-2 version staged the
+vmapped per-image form that infer.py had measured ~25% slower and removed,
+so its stage shares could mis-rank optimization targets (VERDICT r2 item
+7).  The last cumulative row IS build_infer_fn's program; its ms/img should
+match bench.py at the same batch within noise.
+
 Usage:  python benchmarks/profile_flagship.py [batch] [--trace DIR]
 """
 
@@ -27,12 +34,10 @@ import numpy as np
 
 from benchmarks.common import bench_fn, emit
 from kgtpu.config import Config
-from kgtpu.infer import _detect_single, _mask_single, _peak_wh, _vars
+from kgtpu.infer import _detect_batch, _mask_batch, _vars
 from kgtpu.models import KGNet
-from kgtpu.ops.decode import decode_peaks
-from kgtpu.ops.group import group_keypoints
-from kgtpu.ops.nms import box_nms
-from kgtpu.ops.roi import paste_masks
+from kgtpu.ops.preprocess import normalize_images
+from kgtpu.ops.roi import crop_and_resize
 from kgtpu.train_lib import create_train_state
 
 
@@ -46,7 +51,7 @@ def _cost(fn, *args):
 
 def main():
     batch = int(sys.argv[1]) if len(sys.argv) > 1 and sys.argv[1].isdigit() \
-        else int(os.environ.get("KGTPU_BENCH_BATCH", "16"))
+        else int(os.environ.get("KGTPU_BENCH_BATCH", "32"))
     trace_dir = ""
     if "--trace" in sys.argv:
         trace_dir = sys.argv[sys.argv.index("--trace") + 1]
@@ -59,32 +64,34 @@ def main():
     images = jnp.asarray(rng.integers(0, 256, size=(batch, size, size, 3),
                                       dtype=np.uint8))
 
-    # cumulative stage programs (each includes all previous stages)
+    # cumulative stage programs (each includes all previous stages); all of
+    # them are prefixes of build_infer_fn's exact program
     def s1_backbone(params, imgs):
-        def one(image):
-            out = model.apply(_vars(params), image[None])
-            return out["stacks"][-1]["hm"][0], out["feat"][0]
-        return jax.vmap(one)(imgs)
+        x = normalize_images(imgs, cfg.data.mean, cfg.data.std)
+        out = model.apply(_vars(params), x)
+        return out["stacks"][-1]["hm"], out["feat"]
 
     def s2_detect(params, imgs):
-        def one(image):
-            dets, feat = _detect_single(model, cfg, params, image)
-            return dets.boxes, dets.scores, feat
-        return jax.vmap(one)(imgs)
+        x = normalize_images(imgs, cfg.data.mean, cfg.data.std)
+        dets, feats = _detect_batch(model, cfg, params, x)
+        return dets.boxes, dets.scores, feats
 
     def s3_masklogits(params, imgs):
-        def one(image):
-            dets, feat = _detect_single(model, cfg, params, image)
-            logits = model.apply(_vars(params), feat, dets.boxes,
-                                 method=KGNet.mask_logits)
-            return logits, dets.boxes, dets.scores
-        return jax.vmap(one)(imgs)
+        x = normalize_images(imgs, cfg.data.mean, cfg.data.std)
+        dets, feats = _detect_batch(model, cfg, params, x)
+        crops = jax.vmap(
+            lambda f, bx: crop_and_resize(f, bx, cfg.model.roi_size)
+        )(feats, dets.boxes)
+        b, d = crops.shape[:2]
+        flat = crops.reshape((b * d,) + crops.shape[2:])
+        logits = model.apply(_vars(params), flat,
+                             method=KGNet.apply_mask_head)
+        return logits, dets.boxes, dets.scores
 
     def s4_full(params, imgs):
-        def one(image):
-            dets, feat = _detect_single(model, cfg, params, image)
-            return _mask_single(model, cfg, params, feat, dets, size, size)
-        return jax.vmap(one)(imgs)
+        x = normalize_images(imgs, cfg.data.mean, cfg.data.std)
+        dets, feats = _detect_batch(model, cfg, params, x)
+        return _mask_batch(model, cfg, params, feats, dets, size, size)
 
     stages = [("backbone_heads", s1_backbone), ("plus_decode_group", s2_detect),
               ("plus_roi_maskhead", s3_masklogits), ("full_with_paste", s4_full)]

@@ -6,13 +6,14 @@ from kgtpu.config import DataConfig
 
 
 def build_dataset(cfg: DataConfig, split: str = "train"):
-    if cfg.dataset in ("synthetic", "synthetic_crowded"):
+    if cfg.dataset in ("synthetic", "synthetic_crowded", "synthetic_hard"):
         from kgtpu.data.synthetic import SyntheticCells
         n = {"train": cfg.synthetic_train_images,
              "val": 16, "test": 16}.get(split, 16)
         seed = {"train": 0, "val": 7, "test": 13}.get(split, 7)
         return SyntheticCells(size=cfg.input_size, num_images=n, seed=seed,
-                              crowded=cfg.dataset.endswith("crowded"))
+                              crowded=cfg.dataset.endswith("crowded"),
+                              hard=cfg.dataset.endswith("hard"))
     if cfg.dataset == "dsb2018":
         from kgtpu.data.dsb2018 import DSB2018
         return DSB2018(cfg.data_dir, split=split)

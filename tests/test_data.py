@@ -17,6 +17,34 @@ def test_synthetic_deterministic():
     assert a["label_map"].max() >= 1
 
 
+def test_synthetic_hard_phenotype():
+    """The hard benchmark variant must actually exhibit the SURVEY.md §0.5
+    phenotype it exists to test (VERDICT r2 item 1): wide per-image size
+    spread, heavy instance-boundary contact, and deterministic generation."""
+    import cv2
+
+    ds = SyntheticCells(size=256, num_images=3, seed=5, hard=True)
+    a, b = ds[1], ds[1]
+    np.testing.assert_array_equal(a["image"], b["image"])
+    spreads, touch_fracs = [], []
+    for i in range(3):
+        lab = ds[i]["label_map"]
+        ids = np.unique(lab[lab > 0])
+        assert len(ids) >= 10
+        sides, touching = [], 0
+        for oid in ids:
+            m = lab == oid
+            ys, xs = np.where(m)
+            sides.append(max(ys.max() - ys.min(), xs.max() - xs.min()) + 1)
+            dil = cv2.dilate(m.astype(np.uint8),
+                             np.ones((3, 3), np.uint8)).astype(bool)
+            touching += bool(((lab > 0) & ~m & dil).any())
+        spreads.append(max(sides) / max(min(sides), 1))
+        touch_fracs.append(touching / len(ids))
+    assert max(spreads) > 5.0, spreads          # ~10x size spread target
+    assert max(touch_fracs) > 0.5, touch_fracs  # heavy contact
+
+
 def test_boxes_from_label_map():
     label = np.zeros((20, 20), np.int32)
     label[2:8, 3:10] = 5          # instance id 5
