@@ -1,0 +1,135 @@
+#!/usr/bin/env python
+"""Roofline statement for the flagship inference + train step.
+
+VERDICT r2 ("What's weak" #2): MFU alone doesn't say whether the remaining
+time is HBM-bound, dispatch-bound, or recoverable.  This script runs the
+stage-differencing profile (same programs as profile_flagship.py) plus the
+train step, and for every stage compares the measured time against the two
+hardware ceilings:
+
+  compute-bound floor = stage FLOPs / peak bf16 FLOP/s
+  HBM-bound floor     = stage bytes accessed / peak HBM bandwidth
+
+A stage running close to max(floors) is at its roofline — the only wins
+left are *algorithmic* (fewer FLOPs / fewer bytes); a stage far above both
+floors is latency/dispatch-bound (small kernels, sequential structure).
+The tunneled dev TPU adds a ~24 ms host-dispatch constant per jitted call
+(CLAUDE.md) which is amortized over the batch and reported separately.
+
+Usage: python benchmarks/roofline.py [batch]   (writes JSON lines)
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from benchmarks.common import bench_fn, cost_analysis, device_peak, emit
+from kgtpu import train_lib
+from kgtpu.config import Config
+from kgtpu.data import build_dataset, make_batch
+from kgtpu.infer import _detect_batch, _mask_batch, _vars
+from kgtpu.models import KGNet
+from kgtpu.ops.preprocess import normalize_images
+from kgtpu.ops.roi import crop_and_resize
+from kgtpu.train_lib import create_train_state
+
+DISPATCH_MS = 24.0    # measured host->device floor per jitted call (tunnel)
+
+
+def main():
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 and sys.argv[1].isdigit() \
+        else int(os.environ.get("KGTPU_BENCH_BATCH", "32"))
+    cfg = Config()
+    state = create_train_state(cfg, jax.random.PRNGKey(0))
+    model = KGNet(cfg=cfg.model)
+    size = cfg.data.input_size
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(rng.integers(0, 256, size=(batch, size, size, 3),
+                                      dtype=np.uint8))
+    peak_fl, peak_bw = device_peak()
+
+    def s1(params, imgs):
+        x = normalize_images(imgs, cfg.data.mean, cfg.data.std)
+        out = model.apply(_vars(params), x)
+        return out["stacks"][-1]["hm"], out["feat"]
+
+    def s2(params, imgs):
+        x = normalize_images(imgs, cfg.data.mean, cfg.data.std)
+        dets, feats = _detect_batch(model, cfg, params, x)
+        return dets.boxes, dets.scores, feats
+
+    def s3(params, imgs):
+        x = normalize_images(imgs, cfg.data.mean, cfg.data.std)
+        dets, feats = _detect_batch(model, cfg, params, x)
+        crops = jax.vmap(
+            lambda f, bx: crop_and_resize(f, bx, cfg.model.roi_size)
+        )(feats, dets.boxes)
+        b, d = crops.shape[:2]
+        logits = model.apply(_vars(params),
+                             crops.reshape((b * d,) + crops.shape[2:]),
+                             method=KGNet.apply_mask_head)
+        return logits, dets.boxes, dets.scores
+
+    def s4(params, imgs):
+        x = normalize_images(imgs, cfg.data.mean, cfg.data.std)
+        dets, feats = _detect_batch(model, cfg, params, x)
+        return _mask_batch(model, cfg, params, feats, dets, size, size)
+
+    rows = []
+    prev = (0.0, 0.0, 0.0)
+    for name, fn, args in [
+            ("infer:backbone_heads", s1, (state.params, images)),
+            ("infer:+decode_group_nms", s2, (state.params, images)),
+            ("infer:+roi_maskhead", s3, (state.params, images)),
+            ("infer:+paste(full)", s4, (state.params, images))]:
+        r = bench_fn(fn, *args, iters=10, warmup=2)
+        fl, by = cost_analysis(fn, *args)
+        ms = 1000 * r["sec_per_call"]
+        sms, sfl, sby = ms - prev[0], fl - prev[1], by - prev[2]
+        prev = (ms, fl, by)
+        rows.append((name, sms, sfl, sby))
+
+    # train step (batch 8 reference config)
+    tb = 8
+    ds = build_dataset(cfg.data)
+    tbatch = make_batch(ds, list(range(tb)), cfg.data, augment=False,
+                        rng=np.random.default_rng(0))
+    tbatch = {k: jax.device_put(v) for k, v in tbatch.items()}
+    key = jax.random.PRNGKey(0)
+
+    def tstep(state, batch, key):
+        grad_fn = jax.value_and_grad(train_lib.loss_fn, has_aux=True)
+        (_, (metrics, _s)), grads = grad_fn(state.params, batch, key,
+                                            model, cfg)
+        return state.apply_gradients(grads=grads), metrics
+
+    fn = lambda s, b, k: tstep(s, b, k)[1]
+    r = bench_fn(fn, state, tbatch, key, iters=10, warmup=2)
+    fl, by = cost_analysis(fn, state, tbatch, key)
+    rows.append(("train:step(fwd+bwd+update)",
+                 1000 * r["sec_per_call"], fl, by))
+
+    for name, ms, fl, by in rows:
+        comp_ms = 1000 * fl / peak_fl if peak_fl else None
+        hbm_ms = 1000 * by / peak_bw if peak_bw else None
+        floor = max(comp_ms or 0, hbm_ms or 0)
+        emit({
+            "stage": name,
+            "measured_ms": round(ms, 2),
+            "compute_floor_ms": round(comp_ms, 2) if comp_ms else None,
+            "hbm_floor_ms": round(hbm_ms, 2) if hbm_ms else None,
+            "bound": ("compute" if comp_ms and comp_ms >= (hbm_ms or 0)
+                      else "hbm"),
+            "pct_of_roofline": round(100 * floor / ms, 1) if ms else None,
+            "note": ("measured includes the ~%g ms tunnel dispatch floor "
+                     "amortized over the call" % DISPATCH_MS),
+        })
+
+
+if __name__ == "__main__":
+    main()

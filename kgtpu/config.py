@@ -353,6 +353,9 @@ def build_train_parser() -> argparse.ArgumentParser:
     p.add_argument("--num_epochs", type=int, default=100)
     p.add_argument("--steps_per_epoch", type=int, default=0)
     p.add_argument("--save_dir", default="weights")
+    p.add_argument("--save_every", type=int, default=1,
+                   help="checkpoint every N epochs (the final epoch always "
+                        "saves)")
     p.add_argument("--resume", default="", nargs="?", const="latest",
                    help="checkpoint path, or bare flag to resume the latest")
     p.add_argument("--ngpus", "--num_devices", dest="num_devices", type=int,
@@ -435,6 +438,7 @@ def config_from_train_args(a: argparse.Namespace) -> Config:
                                   num_epochs=a.num_epochs,
                                   steps_per_epoch=a.steps_per_epoch,
                                   save_dir=a.save_dir, resume=a.resume,
+                                  save_every_epochs=max(a.save_every, 1),
                                   num_devices=a.num_devices, seed=a.seed,
                                   ema_decay=a.ema_decay),
         infer=c.infer,
