@@ -37,6 +37,9 @@ def main() -> None:
     p.add_argument("--roi_size", type=int, default=32)
     p.add_argument("--inter_inject", action="store_true")
     p.add_argument("--wh_head", type=int, default=1, choices=[0, 1])
+    p.add_argument("--decode", default="kg", choices=["kg", "centernet"],
+                   help="box assembly to sweep (the centernet baseline "
+                        "reuses the same checkpoint's wh head)")
     args = p.parse_args()
 
     import numpy as np
@@ -57,7 +60,8 @@ def main() -> None:
                                   inter_inject=args.inter_inject,
                                   use_wh_head=bool(args.wh_head)),
         data=dataclasses.replace(c0.data, dataset=args.dataset,
-                                 data_dir=args.data_dir))
+                                 data_dir=args.data_dir),
+        group=dataclasses.replace(c0.group, method=args.decode))
     ck = checkpoint.restore(args.weights)
     params = (ck.get("ema_params") if args.use_ema else None) or ck["params"]
     ds = build_dataset(base.data, split="test")
