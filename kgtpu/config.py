@@ -343,6 +343,12 @@ def build_train_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser("train.py", description="Train the KG model (TPU)")
     _add_common(p)
     p.add_argument("--batch_size", type=int, default=8)
+    p.add_argument("--aug_scale", default="0.8,1.2",
+                   help="random scale-jitter range LO,HI for the joint "
+                        "affine augmentation (image/masks/keypoints)")
+    p.add_argument("--aug_rotate", type=float, default=0.0,
+                   help="random rotation range in +/- degrees for the "
+                        "joint affine augmentation")
     p.add_argument("--ema_decay", type=float, default=0.0)
     p.add_argument("--remat", action="store_true",
                    help="rematerialize hourglass activations (less HBM, "
@@ -414,6 +420,12 @@ def build_eval_parser() -> argparse.ArgumentParser:
 
 def config_from_train_args(a: argparse.Namespace) -> Config:
     c = Config()
+    try:
+        lo, hi = (float(x) for x in str(a.aug_scale).split(","))
+    except ValueError:
+        raise SystemExit(f"--aug_scale {a.aug_scale!r} must be LO,HI")
+    if not (0.0 < lo <= hi):
+        raise SystemExit(f"--aug_scale {a.aug_scale!r} needs 0 < LO <= HI")
     return Config(
         model=dataclasses.replace(c.model, backbone=a.backbone,
                                   num_stacks=a.num_stacks, norm=a.norm,
@@ -425,7 +437,9 @@ def config_from_train_args(a: argparse.Namespace) -> Config:
                                   remat=a.remat),
         data=dataclasses.replace(c.data, dataset=a.dataset, data_dir=a.data_dir,
                                  input_size=a.input_size,
-                                 synthetic_train_images=a.synthetic_n),
+                                 synthetic_train_images=a.synthetic_n,
+                                 scale_range=(lo, hi),
+                                 rotate_deg=a.aug_rotate),
         group=dataclasses.replace(c.group, method=a.decode,
                                   max_peaks_per_class=a.max_peaks,
                                   max_detections=a.max_detections,

@@ -22,8 +22,11 @@ def test_train_flags_reach_config():
         "--remat", "--ngpus", "4", "--seed", "5", "--K", "64",
         "--max_detections", "96", "--conf_thresh", "0.2", "--nms_iou", "0.4",
         "--max_box_size", "80", "--save_dir", "/tmp/w", "--resume",
+        "--aug_scale", "0.6,1.5", "--aug_rotate", "15",
     ])
     cfg = config_from_train_args(args)
+    assert cfg.data.scale_range == (0.6, 1.5)
+    assert cfg.data.rotate_deg == 15.0
     assert cfg.data.dataset == "synthetic_crowded"
     assert cfg.data.input_size == 256
     assert cfg.model.backbone == "resnet_fpn"
@@ -40,6 +43,14 @@ def test_train_flags_reach_config():
     assert cfg.group.max_box_size == 80 / cfg.data.stride
     assert cfg.group.score_thresh == 0.2 and cfg.group.nms_iou == 0.4
     assert cfg.train.save_dir == "/tmp/w" and cfg.train.resume == "latest"
+
+
+def test_aug_scale_rejects_bad_ranges():
+    import pytest
+    for bad in ("1.2,0.8", "0,1.2", "nope", "1.0"):
+        args = build_train_parser().parse_args(["--aug_scale", bad])
+        with pytest.raises(SystemExit):
+            config_from_train_args(args)
 
 
 def test_test_flags_reach_config():
