@@ -30,17 +30,27 @@ def main() -> None:
     import numpy as np
 
     from kgtpu.config import Config
-    from kgtpu.infer import build_infer_fn
+    from kgtpu.infer import _detect_batch, _mask_batch
     from kgtpu.models import KGNet
+    from kgtpu.ops.nms import Boxes
+    from kgtpu.ops.preprocess import normalize_images
     from kgtpu.train_lib import create_train_state
 
     batch = int(os.environ.get("KGTPU_BENCH_BATCH", "32"))
     iters = int(os.environ.get("KGTPU_BENCH_ITERS", "10"))
+    # Pinned detection load: the bench net is untrained, so on noise it
+    # detects ~nothing — but the shipping mask stage now SKIPS detection-
+    # slot chunks with no valid detection (infer.mask_chunk), so an empty
+    # load would let the bench dodge the roofline's largest stage entirely.
+    # Forcing this many valid slots per image (README: a trained flagship
+    # sees 6-25 dets/img; the hard benchmark ~24) measures the pipeline
+    # under a realistic load.  Mask-stage cost is shape-static, so only the
+    # VALID COUNT matters, not the box contents.
+    ndets = int(os.environ.get("KGTPU_BENCH_DETS", "24"))
 
     cfg = Config()
     state = create_train_state(cfg, jax.random.PRNGKey(0))
     model = KGNet(cfg=cfg.model)
-    infer = build_infer_fn(model, cfg)
 
     rng = np.random.default_rng(0)
     # raw uint8 pixels — the production input contract (device-side normalize)
@@ -55,7 +65,14 @@ def main() -> None:
     # chip.  Scalar fetch = compute + one 4-byte round trip.
     @jax.jit
     def reduced(params, imgs):
-        out = infer(params, imgs)
+        x = normalize_images(imgs, cfg.data.mean, cfg.data.std)
+        dets, feats = _detect_batch(model, cfg, params, x)
+        forced = jnp.broadcast_to(
+            jnp.arange(dets.valid.shape[1])[None, :] < ndets,
+            dets.valid.shape)
+        dets = Boxes(boxes=dets.boxes, scores=dets.scores, valid=forced)
+        out = _mask_batch(model, cfg, params, feats, dets,
+                          imgs.shape[1], imgs.shape[2])
         return jnp.sum(out["label_map"]) + jnp.sum(out["scores"])
 
     # XLA cost analysis of the exact program being timed → FLOPs/img and MFU
@@ -100,6 +117,7 @@ def main() -> None:
         "unit": "img/s",
         "vs_baseline": round(vs, 3),
         "batch": batch,
+        "pinned_dets_per_img": ndets,
         "gflops_per_img": round(flops_img / 1e9, 2),
         "mfu": round(mfu, 4) if mfu is not None else None,
         "backend": jax.default_backend(),

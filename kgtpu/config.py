@@ -180,6 +180,17 @@ class InferConfig:
                                        # DSB2018 mAP and COCO AP protocols
                                        # on both benchmark sets (README)
     input_size: int = 512              # inference canvas (pad/resize to square)
+    mask_chunk: int = 32               # mask-stage detection-slot chunk: the
+                                       # ROI crop + mask head run as a scan
+                                       # over D/mask_chunk chunks, skipping
+                                       # (lax.cond) chunks with no valid
+                                       # detection.  box_nms compacts kept
+                                       # rows first, so with ~6-25 dets/img
+                                       # only the first chunk computes —
+                                       # the roofline's largest inference
+                                       # stage shrinks ~D/dets-fold.  0 =
+                                       # dense (all D slots every call);
+                                       # valid-slot outputs are identical
     batch_size: int = 1
     # whole-slide sliding-window tiling (BASELINE config 5)
     tile_size: int = 512
@@ -397,6 +408,10 @@ def build_test_parser() -> argparse.ArgumentParser:
                    help="TTA merge scoring: mean = rescore by cross-variant "
                         "agreement (kills per-variant ghosts), max = classic "
                         "NMS merge")
+    p.add_argument("--mask_chunk", type=int, default=32,
+                   help="mask-stage detection-slot chunk size; chunks with "
+                        "no valid detection are skipped on device (0 = "
+                        "dense all-slots apply)")
     p.add_argument("--tta_vote_thresh", type=float, default=0.15,
                    help="drop TTA-merged boxes whose agreement-voted score "
                         "is below this (only with --tta_vote mean)")
@@ -497,6 +512,7 @@ def config_from_test_args(a: argparse.Namespace) -> Config:
         train=c.train,
         infer=dataclasses.replace(c.infer, weights=a.weights, test_scales=scales,
                                   test_flip=a.test_flip,
+                                  mask_chunk=a.mask_chunk,
                                   tta_vote=a.tta_vote,
                                   tta_vote_thresh=a.tta_vote_thresh,
                                   input_size=a.input_size, save_dir=a.save_dir,

@@ -144,16 +144,43 @@ def _detect_batch(model: KGNet, cfg: Config, params, images: jnp.ndarray
 
 def _mask_batch(model: KGNet, cfg: Config, params, feats: jnp.ndarray,
                 dets: Boxes, height: int, width: int) -> dict:
-    """Stage 2, batched: ONE flat mask-head apply over all B·D crops
-    (crop + paste are pure ops and stay vmapped per image)."""
+    """Stage 2, batched: ROI crop + mask head over the B·D detection slots
+    (crop + paste are pure ops and stay vmapped per image).
+
+    The D slots are processed in chunks of `cfg.infer.mask_chunk`, and a
+    chunk whose slots hold no valid detection is skipped entirely
+    (lax.cond on a scalar predicate — real control flow on TPU, not a
+    select).  box_nms compacts kept rows first, so valid detections occupy
+    a slot prefix and typically only the first chunk computes; the skipped
+    chunks' logits are zeros, which paste_masks never reads (it gates on
+    `valid`).  mask_chunk=0 restores the dense all-slots apply."""
     s = cfg.data.stride
-    crops = jax.vmap(
-        lambda f, bx: crop_and_resize(f, bx, cfg.model.roi_size)
-    )(feats, dets.boxes)                                  # [B, D, r, r, F]
-    b, d = crops.shape[:2]
-    flat = crops.reshape((b * d,) + crops.shape[2:])
-    logits = model.apply(_vars(params), flat, method=KGNet.apply_mask_head)
-    probs = jax.nn.sigmoid(logits.reshape((b, d) + logits.shape[1:]))
+    b, d = dets.boxes.shape[:2]
+    rs = cfg.model.roi_size
+    m = cfg.model.mask_size
+
+    def head_logits(boxes_chunk):
+        crops = jax.vmap(
+            lambda f, bx: crop_and_resize(f, bx, rs)
+        )(feats, boxes_chunk)                             # [B, ch, r, r, F]
+        flat = crops.reshape((b * boxes_chunk.shape[1],) + crops.shape[2:])
+        logits = model.apply(_vars(params), flat,
+                             method=KGNet.apply_mask_head)
+        return logits.reshape((b, boxes_chunk.shape[1]) + logits.shape[1:])
+
+    ch = cfg.infer.mask_chunk
+    if 0 < ch < d and d % ch == 0:
+        def chunk(_, i):
+            bx = jax.lax.dynamic_slice_in_dim(dets.boxes, i * ch, ch, axis=1)
+            va = jax.lax.dynamic_slice_in_dim(dets.valid, i * ch, ch, axis=1)
+            lg = jax.lax.cond(jnp.any(va), lambda: head_logits(bx),
+                              lambda: jnp.zeros((b, ch, m, m), jnp.float32))
+            return None, lg
+        _, lgs = jax.lax.scan(chunk, None, jnp.arange(d // ch))
+        logits = jnp.moveaxis(lgs, 0, 1).reshape(b, d, m, m)
+    else:
+        logits = head_logits(dets.boxes)
+    probs = jax.nn.sigmoid(logits)
     boxes_px = dets.boxes * s
     label, score_map = jax.vmap(
         lambda p, bx, sc, v: paste_masks(p, bx, sc, v, height, width,

@@ -70,6 +70,58 @@ def test_infer_untrained_mostly_empty():
     assert lab.min() >= 0 and lab.max() <= cfg.group.max_detections
 
 
+def test_mask_chunking_matches_dense():
+    """Chunked conditional mask stage (infer.mask_chunk, the roofline-driven
+    round-3 optimization) must reproduce the dense all-slots apply exactly
+    at every VALID slot — for a compacted valid prefix (the box_nms
+    contract) and for scattered valid slots (every chunk's predicate
+    exercised)."""
+    from kgtpu.infer import _mask_batch
+    from kgtpu.ops.nms import Boxes
+
+    cfg, model, params = _setup()
+    rng = np.random.default_rng(1)
+    b, d = 2, cfg.group.max_detections
+    feats_side = cfg.data.input_size // cfg.data.stride
+    from kgtpu.infer import _detect_batch
+    imgs = jnp.asarray(rng.normal(size=(b, 128, 128, 3)), jnp.float32)
+    _, feats = _detect_batch(model, cfg, params, imgs)
+    assert feats.shape[1] == feats_side
+
+    boxes = np.zeros((b, d, 4), np.float32)
+    boxes[..., 0] = rng.uniform(0, 20, (b, d))
+    boxes[..., 1] = rng.uniform(0, 20, (b, d))
+    boxes[..., 2] = boxes[..., 0] + rng.uniform(3, 10, (b, d))
+    boxes[..., 3] = boxes[..., 1] + rng.uniform(3, 10, (b, d))
+    scores = np.linspace(1.0, 0.1, d, dtype=np.float32)[None].repeat(b, 0)
+
+    for name, valid in [
+            ("prefix", np.arange(d)[None] < np.array([[3], [5]])),
+            ("scattered", np.zeros((b, d), bool)),
+            ("empty", np.zeros((b, d), bool))]:
+        if name == "scattered":
+            valid = valid.copy()
+            valid[0, d - 1] = True    # last chunk only
+            valid[1, 0] = True
+        dets = Boxes(boxes=jnp.asarray(boxes), scores=jnp.asarray(scores),
+                     valid=jnp.asarray(valid))
+        outs = {}
+        for ch in (0, 8):
+            c = dataclasses.replace(
+                cfg, infer=dataclasses.replace(cfg.infer, mask_chunk=ch))
+            outs[ch] = _mask_batch(model, c, params, feats, dets, 128, 128)
+        va = np.asarray(valid)
+        np.testing.assert_allclose(
+            np.asarray(outs[8]["masks"])[va], np.asarray(outs[0]["masks"])[va],
+            rtol=1e-6, atol=1e-6, err_msg=name)
+        np.testing.assert_array_equal(np.asarray(outs[8]["label_map"]),
+                                      np.asarray(outs[0]["label_map"]),
+                                      err_msg=name)
+        np.testing.assert_allclose(np.asarray(outs[8]["score_map"]),
+                                   np.asarray(outs[0]["score_map"]),
+                                   rtol=1e-6, atol=1e-6, err_msg=name)
+
+
 def test_multiscale_runs_and_merges():
     cfg, model, params = _setup()
     cfg = dataclasses.replace(
