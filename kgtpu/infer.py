@@ -33,7 +33,7 @@ from kgtpu.ops.decode import decode_center_wh, decode_peaks
 from kgtpu.ops.group import Boxes, group_keypoints
 from kgtpu.ops.nms import box_nms, merge_scales
 from kgtpu.ops.preprocess import normalize_images
-from kgtpu.ops.roi import crop_and_resize, paste_masks
+from kgtpu.ops.roi import crop_and_resize, paste_masks, paste_masks_batch
 from kgtpu.ops.tiling import (
     extract_tiles,
     ownership_mask,
@@ -142,19 +142,10 @@ def _detect_batch(model: KGNet, cfg: Config, params, images: jnp.ndarray
     return dets, out["feat"]
 
 
-def _mask_batch(model: KGNet, cfg: Config, params, feats: jnp.ndarray,
-                dets: Boxes, height: int, width: int) -> dict:
-    """Stage 2, batched: ROI crop + mask head over the B·D detection slots
-    (crop + paste are pure ops and stay vmapped per image).
-
-    The D slots are processed in chunks of `cfg.infer.mask_chunk`, and a
-    chunk whose slots hold no valid detection is skipped entirely
-    (lax.cond on a scalar predicate — real control flow on TPU, not a
-    select).  box_nms compacts kept rows first, so valid detections occupy
-    a slot prefix and typically only the first chunk computes; the skipped
-    chunks' logits are zeros, which paste_masks never reads (it gates on
-    `valid`).  mask_chunk=0 restores the dense all-slots apply."""
-    s = cfg.data.stride
+def _mask_probs(model: KGNet, cfg: Config, params, feats: jnp.ndarray,
+                dets: Boxes) -> jnp.ndarray:
+    """ROI crop + mask head → per-slot mask probabilities [B, D, m, m],
+    chunk-skipping invalid detection slots (see _mask_batch docstring)."""
     b, d = dets.boxes.shape[:2]
     rs = cfg.model.roi_size
     m = cfg.model.mask_size
@@ -180,12 +171,27 @@ def _mask_batch(model: KGNet, cfg: Config, params, feats: jnp.ndarray,
         logits = jnp.moveaxis(lgs, 0, 1).reshape(b, d, m, m)
     else:
         logits = head_logits(dets.boxes)
-    probs = jax.nn.sigmoid(logits)
+    return jax.nn.sigmoid(logits)
+
+
+def _mask_batch(model: KGNet, cfg: Config, params, feats: jnp.ndarray,
+                dets: Boxes, height: int, width: int) -> dict:
+    """Stage 2, batched: ROI crop + mask head over the B·D detection slots
+    (crop + paste are pure ops and stay vmapped per image).
+
+    The D slots are processed in chunks of `cfg.infer.mask_chunk`, and a
+    chunk whose slots hold no valid detection is skipped entirely
+    (lax.cond on a scalar predicate — real control flow on TPU, not a
+    select).  box_nms compacts kept rows first, so valid detections occupy
+    a slot prefix and typically only the first chunk computes; the skipped
+    chunks' logits are zeros, which paste_masks never reads (it gates on
+    `valid`).  mask_chunk=0 restores the dense all-slots apply."""
+    s = cfg.data.stride
+    probs = _mask_probs(model, cfg, params, feats, dets)
     boxes_px = dets.boxes * s
-    label, score_map = jax.vmap(
-        lambda p, bx, sc, v: paste_masks(p, bx, sc, v, height, width,
-                                         thresh=cfg.group.mask_thresh)
-    )(probs, boxes_px, dets.scores, dets.valid)
+    label, score_map = paste_masks_batch(
+        probs, boxes_px, dets.scores, dets.valid, height, width,
+        thresh=cfg.group.mask_thresh)
     return {
         "boxes": boxes_px, "scores": dets.scores, "valid": dets.valid,
         "masks": probs, "label_map": label, "score_map": score_map,

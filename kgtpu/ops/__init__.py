@@ -16,7 +16,7 @@ from kgtpu.ops.decode import decode_peaks
 from kgtpu.ops.group import group_keypoints
 from kgtpu.ops.nms import batched_box_iou, box_nms, merge_scales
 from kgtpu.ops.preprocess import normalize_images
-from kgtpu.ops.roi import crop_and_resize, paste_masks
+from kgtpu.ops.roi import crop_and_resize, paste_masks, paste_masks_batch
 
 __all__ = [
     "normalize_images",
@@ -30,4 +30,5 @@ __all__ = [
     "merge_scales",
     "crop_and_resize",
     "paste_masks",
+    "paste_masks_batch",
 ]

@@ -192,3 +192,82 @@ def paste_masks(
     (label, best), _ = jax.lax.scan(
         step, carry0, (masks_c, boxes_c, scores_c, valid_c, base_c))
     return label, best
+
+
+def paste_masks_batch(
+    masks: jnp.ndarray,
+    boxes: jnp.ndarray,
+    scores: jnp.ndarray,
+    valid: jnp.ndarray,
+    height: int,
+    width: int,
+    thresh: float = 0.5,
+    box_chunk: int = 32,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Batched paste_masks with whole-batch chunk skipping.
+
+    Semantically identical to `vmap(paste_masks)` (same score-priority
+    resolve, same lowest-index tie-break), but the scan over detection-slot
+    chunks runs at BATCH level, so a chunk whose slots hold no valid
+    detection in ANY image is skipped with a scalar-predicate lax.cond —
+    real control flow, unlike a per-image cond under vmap, which XLA turns
+    into a select that computes both branches.  With box_nms's kept-first
+    compaction the valid slots form a prefix and most chunks skip (the
+    roofline measured the vmapped paste at 5% of its HBM bound — pure
+    sequential-latency overhead).
+
+    Args mirror paste_masks with a leading batch axis: masks [B, D, r, r],
+    boxes [B, D, 4] (image continuous coords), scores/valid [B, D].
+    Returns (label_map [B, H, W] int32, score_map [B, H, W] float32).
+    """
+    b, d, r, _ = masks.shape
+    pad = (-d) % box_chunk
+    if pad:
+        masks = jnp.pad(masks, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        boxes = jnp.pad(boxes, ((0, 0), (0, pad), (0, 0)))
+        scores = jnp.pad(scores, ((0, 0), (0, pad)))
+        valid = jnp.pad(valid, ((0, 0), (0, pad)))
+    n_chunks = masks.shape[1] // box_chunk
+
+    def chunked(x):
+        return jnp.moveaxis(
+            x.reshape((b, n_chunks, box_chunk) + x.shape[2:]), 1, 0)
+
+    masks_c = chunked(masks.astype(jnp.float32))   # [C, B, ch, r, r]
+    boxes_c = chunked(boxes.astype(jnp.float32))
+    scores_c = chunked(scores.astype(jnp.float32))
+    valid_c = chunked(valid)
+    base_c = jnp.arange(n_chunks, dtype=jnp.int32) * box_chunk
+
+    def step(carry, inp):
+        mask, box, score, v, base = inp
+
+        def compute():
+            label, best = carry
+            flat_box = box.reshape(b * box_chunk, 4)
+            py = jax.vmap(
+                lambda bx: _paste_weights(bx[1], bx[3] - bx[1], r, height)
+            )(flat_box).reshape(b, box_chunk, height, r)
+            px = jax.vmap(
+                lambda bx: _paste_weights(bx[0], bx[2] - bx[0], r, width)
+            )(flat_box).reshape(b, box_chunk, width, r)
+            tmp = jnp.einsum("bchr,bcrs->bchs", py, mask,
+                             preferred_element_type=jnp.float32)
+            vals = jnp.einsum("bchs,bcws->bchw", tmp, px,
+                              preferred_element_type=jnp.float32)
+            fg = (vals > thresh) & v[:, :, None, None]
+            cand = jnp.where(fg, score[:, :, None, None], -1.0)
+            winner = jnp.argmax(cand, axis=1).astype(jnp.int32)   # [B, H, W]
+            win_score = jnp.max(cand, axis=1)
+            win_id = base + winner + 1
+            better = (win_score > 0) & (win_score > best)
+            return (jnp.where(better, win_id, label),
+                    jnp.where(better, win_score, best))
+
+        return jax.lax.cond(jnp.any(v), compute, lambda: carry), None
+
+    carry0 = (jnp.zeros((b, height, width), jnp.int32),
+              jnp.zeros((b, height, width), jnp.float32))
+    (label, best), _ = jax.lax.scan(
+        step, carry0, (masks_c, boxes_c, scores_c, valid_c, base_c))
+    return label, best

@@ -73,6 +73,42 @@ def test_paste_overlap_resolves_by_score():
     assert lab[0, 0] == 0
 
 
+def test_paste_masks_batch_matches_vmapped():
+    """paste_masks_batch (batch-level chunk-skipping scan, the round-3
+    latency fix for the roofline's 5%-of-HBM-bound paste stage) must equal
+    vmap(paste_masks) exactly: prefix-compacted valid, scattered valid,
+    empty images, duplicate scores (lowest-index tie-break), and chunk
+    sizes that do and don't divide D."""
+    from kgtpu.ops.roi import paste_masks_batch
+
+    rng = np.random.default_rng(7)
+    b, d, r, h, w = 3, 20, 8, 40, 48
+    masks = jnp.asarray(rng.uniform(0, 1, (b, d, r, r)).astype(np.float32))
+    boxes = np.zeros((b, d, 4), np.float32)
+    boxes[..., 0] = rng.uniform(-4, w - 8, (b, d))
+    boxes[..., 1] = rng.uniform(-4, h - 8, (b, d))
+    boxes[..., 2] = boxes[..., 0] + rng.uniform(4, 16, (b, d))
+    boxes[..., 3] = boxes[..., 1] + rng.uniform(4, 16, (b, d))
+    # duplicate scores to exercise the lowest-index tie-break
+    scores = rng.choice([0.9, 0.7, 0.7, 0.5], (b, d)).astype(np.float32)
+    valid = np.zeros((b, d), bool)
+    valid[0, :5] = True                   # prefix
+    valid[1, [3, 17]] = True              # scattered (last chunk active)
+    # image 2 stays empty
+    boxes_j, scores_j, valid_j = map(jnp.asarray, (boxes, scores, valid))
+
+    ref_l, ref_s = jax.vmap(
+        lambda m, bx, sc, v: paste_masks(m, bx, sc, v, h, w)
+    )(masks, boxes_j, scores_j, valid_j)
+    for chunk in (4, 7, 32):
+        got_l, got_s = paste_masks_batch(masks, boxes_j, scores_j, valid_j,
+                                         h, w, box_chunk=chunk)
+        np.testing.assert_array_equal(np.asarray(got_l), np.asarray(ref_l),
+                                      err_msg=f"chunk={chunk}")
+        np.testing.assert_allclose(np.asarray(got_s), np.asarray(ref_s),
+                                   rtol=0, atol=0, err_msg=f"chunk={chunk}")
+
+
 def test_paste_ignores_invalid():
     label, _ = paste_masks(
         jnp.ones((1, 4, 4)), jnp.asarray([[2.0, 2.0, 10.0, 10.0]]),
