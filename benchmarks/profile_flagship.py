@@ -17,8 +17,10 @@ The stages are the SHIPPING batched path (`_detect_batch`/`_mask_batch`,
 exactly what `build_infer_fn` compiles) — the round-2 version staged the
 vmapped per-image form that infer.py had measured ~25% slower and removed,
 so its stage shares could mis-rank optimization targets (VERDICT r2 item
-7).  The last cumulative row IS build_infer_fn's program; its ms/img should
-match bench.py at the same batch within noise.
+7).  The last cumulative row IS build_infer_fn's program under the pinned
+KGTPU_BENCH_DETS valid-detection load (bench.py convention — the chunked
+mask/paste stages would otherwise skip everything on an untrained net);
+its ms/img should match bench.py at the same batch within noise.
 
 Usage:  python benchmarks/profile_flagship.py [batch] [--trace DIR]
 """
@@ -37,7 +39,6 @@ from kgtpu.config import Config
 from kgtpu.infer import _detect_batch, _mask_batch, _vars
 from kgtpu.models import KGNet
 from kgtpu.ops.preprocess import normalize_images
-from kgtpu.ops.roi import crop_and_resize
 from kgtpu.train_lib import create_train_state
 
 
@@ -76,21 +77,29 @@ def main():
         dets, feats = _detect_batch(model, cfg, params, x)
         return dets.boxes, dets.scores, feats
 
+    # pin a realistic valid-detection load (bench.py convention): the
+    # untrained net detects ~0 on noise and the chunked mask/paste stages
+    # would skip every slot chunk, hiding both stages from the profile
+    ndets = int(os.environ.get("KGTPU_BENCH_DETS", "24"))
+
+    def _pin(dets):
+        from kgtpu.ops.nms import Boxes
+        forced = jnp.broadcast_to(
+            jnp.arange(dets.valid.shape[1])[None, :] < ndets,
+            dets.valid.shape)
+        return Boxes(boxes=dets.boxes, scores=dets.scores, valid=forced)
+
     def s3_masklogits(params, imgs):
+        from kgtpu.infer import _mask_probs
         x = normalize_images(imgs, cfg.data.mean, cfg.data.std)
         dets, feats = _detect_batch(model, cfg, params, x)
-        crops = jax.vmap(
-            lambda f, bx: crop_and_resize(f, bx, cfg.model.roi_size)
-        )(feats, dets.boxes)
-        b, d = crops.shape[:2]
-        flat = crops.reshape((b * d,) + crops.shape[2:])
-        logits = model.apply(_vars(params), flat,
-                             method=KGNet.apply_mask_head)
-        return logits, dets.boxes, dets.scores
+        dets = _pin(dets)
+        return _mask_probs(model, cfg, params, feats, dets), dets.boxes
 
     def s4_full(params, imgs):
         x = normalize_images(imgs, cfg.data.mean, cfg.data.std)
         dets, feats = _detect_batch(model, cfg, params, x)
+        dets = _pin(dets)
         return _mask_batch(model, cfg, params, feats, dets, size, size)
 
     stages = [("backbone_heads", s1_backbone), ("plus_decode_group", s2_detect),
