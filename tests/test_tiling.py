@@ -86,9 +86,10 @@ def test_stitch_resolves_overlap_by_score():
 
 
 def test_parallel_stitch_equals_scan_exactly():
-    """The round-3 scatter-max stitch must be bit-identical to the round-2
-    sequential scan, including equal-score ties (lowest tile index wins) and
-    irregular clamped grids (VERDICT r2 item 4)."""
+    """The scatter-max stitch (kept as a documented negative result — it
+    measured 4.5× slower e2e on the v5e than the shipping scan) must be
+    bit-identical to the shipping scan stitch, including equal-score ties
+    (lowest tile index wins) and irregular clamped grids."""
     rng = np.random.default_rng(3)
     for h, w, ts, ov in [(96, 96, 64, 32), (300, 200, 128, 32),
                          (128, 192, 64, 48)]:
@@ -98,9 +99,9 @@ def test_parallel_stitch_equals_scan_exactly():
         # quantized scores force frequent exact ties across overlapping tiles
         scores = (rng.integers(0, 4, (t, ts, ts)) / 4.0).astype(np.float32)
         scores = np.where(labels > 0, scores, 0.0).astype(np.float32)
-        got_l, got_s = tiling.stitch_tiles(
+        got_l, got_s = tiling._stitch_tiles_scatter(
             jnp.asarray(labels), jnp.asarray(scores), jnp.asarray(g), h, w)
-        want_l, want_s = tiling._stitch_tiles_scan(
+        want_l, want_s = tiling.stitch_tiles(
             jnp.asarray(labels), jnp.asarray(scores), jnp.asarray(g), h, w)
         np.testing.assert_array_equal(np.asarray(got_l), np.asarray(want_l))
         np.testing.assert_array_equal(np.asarray(got_s), np.asarray(want_s))
