@@ -70,6 +70,27 @@ def test_infer_untrained_mostly_empty():
     assert lab.min() >= 0 and lab.max() <= cfg.group.max_detections
 
 
+def test_mask_chunking_sharded_matches_unsharded():
+    """The chunked mask stage (scan + scalar-predicate lax.cond) must
+    compile and reproduce single-device outputs under the 8-device batch-DP
+    mesh — the tiny config's D equals the default chunk so the other
+    sharded test exercises only the dense path."""
+    from kgtpu.parallel import make_mesh
+
+    cfg, model, params = _setup()
+    cfg = dataclasses.replace(
+        cfg, infer=dataclasses.replace(cfg.infer, mask_chunk=8))
+    rng = np.random.default_rng(0)
+    imgs = jnp.asarray(rng.integers(0, 256, size=(8, 128, 128, 3),
+                                    dtype=np.uint8))
+    a = build_infer_fn(model, cfg)(params, imgs)
+    b = build_infer_fn(model, cfg, mesh=make_mesh())(params, imgs)
+    np.testing.assert_array_equal(np.asarray(a["label_map"]),
+                                  np.asarray(b["label_map"]))
+    np.testing.assert_array_equal(np.asarray(a["valid"]),
+                                  np.asarray(b["valid"]))
+
+
 def test_mask_chunking_matches_dense():
     """Chunked conditional mask stage (infer.mask_chunk, the roofline-driven
     round-3 optimization) must reproduce the dense all-slots apply exactly
