@@ -29,10 +29,10 @@ def main() -> None:
     import jax.numpy as jnp
     import numpy as np
 
+    from benchmarks.common import pin_valid_dets
     from kgtpu.config import Config
     from kgtpu.infer import _detect_batch, _mask_batch
     from kgtpu.models import KGNet
-    from kgtpu.ops.nms import Boxes
     from kgtpu.ops.preprocess import normalize_images
     from kgtpu.train_lib import create_train_state
 
@@ -67,10 +67,7 @@ def main() -> None:
     def reduced(params, imgs):
         x = normalize_images(imgs, cfg.data.mean, cfg.data.std)
         dets, feats = _detect_batch(model, cfg, params, x)
-        forced = jnp.broadcast_to(
-            jnp.arange(dets.valid.shape[1])[None, :] < ndets,
-            dets.valid.shape)
-        dets = Boxes(boxes=dets.boxes, scores=dets.scores, valid=forced)
+        dets = pin_valid_dets(dets, ndets)
         out = _mask_batch(model, cfg, params, feats, dets,
                           imgs.shape[1], imgs.shape[2])
         return jnp.sum(out["label_map"]) + jnp.sum(out["scores"])

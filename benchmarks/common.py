@@ -61,3 +61,20 @@ def emit(payload: dict) -> None:
     payload.setdefault("backend", jax.default_backend())
     payload.setdefault("device", str(jax.devices()[0]))
     print(json.dumps(payload))
+
+
+def pin_valid_dets(dets, ndets: int):
+    """Force the first `ndets` detection slots valid (bench convention).
+
+    The bench/profiler nets are untrained, so on noise they detect ~nothing
+    and the chunk-skipping mask/paste stages would skip every slot chunk —
+    pinning a realistic load (README: a trained flagship sees 6-25 dets/img)
+    keeps those stages measured.  Mask/paste cost is shape-static, so only
+    the valid COUNT matters, not the box contents.  All three tools
+    (bench.py, profile_flagship.py, roofline.py) share this helper so the
+    pinning convention cannot drift between them.
+    """
+    from kgtpu.ops.nms import Boxes
+    forced = jnp.broadcast_to(
+        jnp.arange(dets.valid.shape[1])[None, :] < ndets, dets.valid.shape)
+    return Boxes(boxes=dets.boxes, scores=dets.scores, valid=forced)

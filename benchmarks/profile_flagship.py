@@ -77,17 +77,11 @@ def main():
         dets, feats = _detect_batch(model, cfg, params, x)
         return dets.boxes, dets.scores, feats
 
-    # pin a realistic valid-detection load (bench.py convention): the
-    # untrained net detects ~0 on noise and the chunked mask/paste stages
-    # would skip every slot chunk, hiding both stages from the profile
+    from benchmarks.common import pin_valid_dets
     ndets = int(os.environ.get("KGTPU_BENCH_DETS", "24"))
 
     def _pin(dets):
-        from kgtpu.ops.nms import Boxes
-        forced = jnp.broadcast_to(
-            jnp.arange(dets.valid.shape[1])[None, :] < ndets,
-            dets.valid.shape)
-        return Boxes(boxes=dets.boxes, scores=dets.scores, valid=forced)
+        return pin_valid_dets(dets, ndets)
 
     def s3_masklogits(params, imgs):
         from kgtpu.infer import _mask_probs

@@ -28,7 +28,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from benchmarks.common import bench_fn, cost_analysis, device_peak, emit
+from benchmarks.common import (bench_fn, cost_analysis, device_peak, emit,
+                               pin_valid_dets)
 from kgtpu import train_lib
 from kgtpu.config import Config
 from kgtpu.data import build_dataset, make_batch
@@ -62,17 +63,10 @@ def main():
         dets, feats = _detect_batch(model, cfg, params, x)
         return dets.boxes, dets.scores, feats
 
-    # pin a realistic valid-detection load (bench.py convention): the
-    # untrained net detects ~0 on noise and the chunked mask stage would
-    # skip everything, hiding the stage from the roofline
     ndets = int(os.environ.get("KGTPU_BENCH_DETS", "24"))
 
     def _pin(dets):
-        from kgtpu.ops.nms import Boxes
-        forced = jnp.broadcast_to(
-            jnp.arange(dets.valid.shape[1])[None, :] < ndets,
-            dets.valid.shape)
-        return Boxes(boxes=dets.boxes, scores=dets.scores, valid=forced)
+        return pin_valid_dets(dets, ndets)
 
     def s3(params, imgs):
         x = normalize_images(imgs, cfg.data.mean, cfg.data.std)

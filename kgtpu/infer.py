@@ -160,15 +160,22 @@ def _mask_probs(model: KGNet, cfg: Config, params, feats: jnp.ndarray,
         return logits.reshape((b, boxes_chunk.shape[1]) + logits.shape[1:])
 
     ch = cfg.infer.mask_chunk
-    if 0 < ch < d and d % ch == 0:
+    if 0 < ch < d:
+        # pad D up to a chunk multiple (padded slots are invalid and their
+        # chunks skip for free) — same convention as paste_masks_batch, so
+        # any --mask_chunk value engages the optimization
+        pad = (-d) % ch
+        boxes = jnp.pad(dets.boxes, ((0, 0), (0, pad), (0, 0)))
+        valid = jnp.pad(dets.valid, ((0, 0), (0, pad)))
+
         def chunk(_, i):
-            bx = jax.lax.dynamic_slice_in_dim(dets.boxes, i * ch, ch, axis=1)
-            va = jax.lax.dynamic_slice_in_dim(dets.valid, i * ch, ch, axis=1)
+            bx = jax.lax.dynamic_slice_in_dim(boxes, i * ch, ch, axis=1)
+            va = jax.lax.dynamic_slice_in_dim(valid, i * ch, ch, axis=1)
             lg = jax.lax.cond(jnp.any(va), lambda: head_logits(bx),
                               lambda: jnp.zeros((b, ch, m, m), jnp.float32))
             return None, lg
-        _, lgs = jax.lax.scan(chunk, None, jnp.arange(d // ch))
-        logits = jnp.moveaxis(lgs, 0, 1).reshape(b, d, m, m)
+        _, lgs = jax.lax.scan(chunk, None, jnp.arange((d + pad) // ch))
+        logits = jnp.moveaxis(lgs, 0, 1).reshape(b, d + pad, m, m)[:, :d]
     else:
         logits = head_logits(dets.boxes)
     return jax.nn.sigmoid(logits)
@@ -185,13 +192,22 @@ def _mask_batch(model: KGNet, cfg: Config, params, feats: jnp.ndarray,
     select).  box_nms compacts kept rows first, so valid detections occupy
     a slot prefix and typically only the first chunk computes; the skipped
     chunks' logits are zeros, which paste_masks never reads (it gates on
-    `valid`).  mask_chunk=0 restores the dense all-slots apply."""
+    `valid`).  A non-dividing mask_chunk pads D up with invalid slots;
+    mask_chunk=0 restores the dense all-slots mask-head apply (paste keeps
+    its default chunking — a dense [B, D, H, W] paste would not fit HBM)."""
     s = cfg.data.stride
     probs = _mask_probs(model, cfg, params, feats, dets)
     boxes_px = dets.boxes * s
+    d = dets.boxes.shape[1]
+    ch = cfg.infer.mask_chunk
+    # mask_chunk also sets the paste chunk; 0 (dense mask head) keeps
+    # paste at its own default chunking — paste has always been chunked
+    # (a [B, D, H, W] dense intermediate would not fit HBM), so "dense"
+    # only meaningfully disables the mask-head scan
     label, score_map = paste_masks_batch(
         probs, boxes_px, dets.scores, dets.valid, height, width,
-        thresh=cfg.group.mask_thresh)
+        thresh=cfg.group.mask_thresh,
+        box_chunk=(ch if 0 < ch < d else 32))
     return {
         "boxes": boxes_px, "scores": dets.scores, "valid": dets.valid,
         "masks": probs, "label_map": label, "score_map": score_map,
@@ -208,8 +224,12 @@ def build_infer_fn(model: KGNet, cfg: Config, mesh=None) -> Callable:
     With `mesh`, the batch axis is sharded over the mesh's "data" axis and
     params are replicated — batch-DP inference (SURVEY.md §2.10), the
     serving analogue of the sharded train step.  Pass a batch divisible by
-    the mesh size; every per-image stage partitions trivially, so XLA emits
-    no cross-chip collectives at all.
+    the mesh size.  Every per-image stage partitions trivially; the only
+    cross-chip communication is the chunk-skip predicates (one boolean
+    all-reduce of `any(valid)` per detection-slot chunk, from the mask
+    stage and paste scans), which also couple skipping across chips — a
+    chunk computes everywhere if ANY chip has a valid detection in it.
+    Sharded outputs equal single-device outputs exactly (tested).
     """
 
     def infer(params, images):

@@ -101,7 +101,7 @@ def _stitch_tiles_scatter(local_labels: jnp.ndarray, local_scores: jnp.ndarray,
     Round 3 first replaced the sequential scan with this "parallel"
     formulation (three batched segment reductions over all T·ts² pixels:
     scatter-max scores → scatter-max inverted tile index among ties →
-    scatter the unique winner's label).  Measured on the v5e it is ~4.5×
+    scatter the unique winner's label).  Measured on the v5e it is ~4.7×
     SLOWER end-to-end (whole-slide 2048²: 393 ms vs 83 ms) — scatters and
     gathers are the TPU anti-pattern (CLAUDE.md / DESIGN rule): five
     scatter/gather passes over 6.5 M elements lose to 25 dynamic-slice
@@ -146,7 +146,7 @@ def stitch_tiles(local_labels: jnp.ndarray, local_scores: jnp.ndarray,
 
     Implementation: a scan of dynamic-slice read-modify-writes, one tile per
     step.  T sequential steps, but each step is a dense ts² compare/select
-    that XLA fuses — measured 4.5× faster end-to-end than the batched
+    that XLA fuses — measured 4.7× faster end-to-end than the batched
     scatter-max formulation on the v5e (see `_stitch_tiles_scatter`, kept
     as the bit-identical negative result)."""
     ts = local_labels.shape[1]

@@ -127,20 +127,23 @@ def test_mask_chunking_matches_dense():
         dets = Boxes(boxes=jnp.asarray(boxes), scores=jnp.asarray(scores),
                      valid=jnp.asarray(valid))
         outs = {}
-        for ch in (0, 8):
+        for ch in (0, 8, 12):        # 12 does not divide D=32 (padded path)
             c = dataclasses.replace(
                 cfg, infer=dataclasses.replace(cfg.infer, mask_chunk=ch))
             outs[ch] = _mask_batch(model, c, params, feats, dets, 128, 128)
         va = np.asarray(valid)
-        np.testing.assert_allclose(
-            np.asarray(outs[8]["masks"])[va], np.asarray(outs[0]["masks"])[va],
-            rtol=1e-6, atol=1e-6, err_msg=name)
-        np.testing.assert_array_equal(np.asarray(outs[8]["label_map"]),
-                                      np.asarray(outs[0]["label_map"]),
-                                      err_msg=name)
-        np.testing.assert_allclose(np.asarray(outs[8]["score_map"]),
-                                   np.asarray(outs[0]["score_map"]),
-                                   rtol=1e-6, atol=1e-6, err_msg=name)
+        for ch in (8, 12):
+            np.testing.assert_allclose(
+                np.asarray(outs[ch]["masks"])[va],
+                np.asarray(outs[0]["masks"])[va],
+                rtol=1e-6, atol=1e-6, err_msg=f"{name} ch={ch}")
+            np.testing.assert_array_equal(np.asarray(outs[ch]["label_map"]),
+                                          np.asarray(outs[0]["label_map"]),
+                                          err_msg=f"{name} ch={ch}")
+            np.testing.assert_allclose(np.asarray(outs[ch]["score_map"]),
+                                       np.asarray(outs[0]["score_map"]),
+                                       rtol=1e-6, atol=1e-6,
+                                       err_msg=f"{name} ch={ch}")
 
 
 def test_multiscale_runs_and_merges():

@@ -87,7 +87,7 @@ def test_stitch_resolves_overlap_by_score():
 
 def test_parallel_stitch_equals_scan_exactly():
     """The scatter-max stitch (kept as a documented negative result — it
-    measured 4.5× slower e2e on the v5e than the shipping scan) must be
+    measured 4.7× slower e2e on the v5e than the shipping scan) must be
     bit-identical to the shipping scan stitch, including equal-score ties
     (lowest tile index wins) and irregular clamped grids."""
     rng = np.random.default_rng(3)
