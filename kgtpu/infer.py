@@ -395,7 +395,7 @@ def build_tiled_infer_fn(model: KGNet, cfg: Config,
             last = out["stacks"][-1]
             has_wh = "wh" in last
 
-            def per_tile(hm, reg, wh, feat, origin, rect, t_ok, tile_idx):
+            def per_tile(hm, reg, wh, origin, rect, t_ok):
                 if cfg.group.method == "centernet":
                     cand = decode_center_wh(
                         hm, reg, wh, cfg.group.max_detections,
@@ -411,19 +411,26 @@ def build_tiled_infer_fn(model: KGNet, cfg: Config,
                 dets_px = Boxes(boxes=dets.boxes * s, scores=dets.scores,
                                 valid=dets.valid)
                 own = ownership_mask(dets_px, origin, rect) & t_ok
-                logits = model.apply(_vars(params), feat, dets.boxes,
-                                     method=KGNet.mask_logits)
-                probs = jax.nn.sigmoid(logits)
-                label, score = paste_masks(
-                    probs, dets_px.boxes, dets.scores, own, ts, ts,
-                    thresh=cfg.group.mask_thresh, id_base=tile_idx * d)
                 gboxes = dets_px.boxes + jnp.asarray(
                     [origin[1], origin[0], origin[1], origin[0]], jnp.float32)
-                return label, score, gboxes, dets.scores, own
+                return dets.boxes, dets.scores, own, gboxes
 
             wh = last.get("wh", jnp.zeros_like(last["reg"]))
-            return None, jax.vmap(per_tile)(
-                last["hm"], last["reg"], wh, out["feat"], org, rct, ok, tid)
+            boxes_st, scores_t, own_t, gboxes = jax.vmap(per_tile)(
+                last["hm"], last["reg"], wh, org, rct, ok)
+            # mask head + paste run at TILE-BATCH level (tiles = batch) so
+            # detection-slot chunks with no OWNED detection in any tile of
+            # the chunk skip entirely — the per-tile form computed all
+            # TB·D slots densely (a per-tile cond under vmap is a select)
+            tdets = Boxes(boxes=boxes_st, scores=scores_t, valid=own_t)
+            probs = _mask_probs(model, cfg, params, out["feat"], tdets)
+            ch = cfg.infer.mask_chunk
+            label, score = paste_masks_batch(
+                probs, boxes_st * s, scores_t, own_t, ts, ts,
+                thresh=cfg.group.mask_thresh,
+                box_chunk=(ch if 0 < ch < d else 32),
+                id_base=tid * d)
+            return None, (label, score, gboxes, scores_t, own_t)
 
         xs = (origins.reshape(n_chunks, tile_batch, 2),
               rects.reshape(n_chunks, tile_batch, 4),

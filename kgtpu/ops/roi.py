@@ -203,6 +203,7 @@ def paste_masks_batch(
     width: int,
     thresh: float = 0.5,
     box_chunk: int = 32,
+    id_base: int | jnp.ndarray = 0,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Batched paste_masks with whole-batch chunk skipping.
 
@@ -217,7 +218,9 @@ def paste_masks_batch(
     sequential-latency overhead).
 
     Args mirror paste_masks with a leading batch axis: masks [B, D, r, r],
-    boxes [B, D, 4] (image continuous coords), scores/valid [B, D].
+    boxes [B, D, 4] (image continuous coords), scores/valid [B, D];
+    id_base is a scalar or per-image [B] offset (instance d of image i is
+    written as id_base[i] + d + 1 — the tiled path passes tile_idx·D).
     Returns (label_map [B, H, W] int32, score_map [B, H, W] float32).
     """
     b, d, r, _ = masks.shape
@@ -238,6 +241,8 @@ def paste_masks_batch(
     scores_c = chunked(scores.astype(jnp.float32))
     valid_c = chunked(valid)
     base_c = jnp.arange(n_chunks, dtype=jnp.int32) * box_chunk
+    img_base = jnp.broadcast_to(
+        jnp.asarray(id_base, jnp.int32), (b,))[:, None, None]  # [B, 1, 1]
 
     def step(carry, inp):
         mask, box, score, v, base = inp
@@ -259,7 +264,7 @@ def paste_masks_batch(
             cand = jnp.where(fg, score[:, :, None, None], -1.0)
             winner = jnp.argmax(cand, axis=1).astype(jnp.int32)   # [B, H, W]
             win_score = jnp.max(cand, axis=1)
-            win_id = base + winner + 1
+            win_id = img_base + base + winner + 1
             better = (win_score > 0) & (win_score > best)
             return (jnp.where(better, win_id, label),
                     jnp.where(better, win_score, best))

@@ -108,6 +108,15 @@ def test_paste_masks_batch_matches_vmapped():
         np.testing.assert_allclose(np.asarray(got_s), np.asarray(ref_s),
                                    rtol=0, atol=0, err_msg=f"chunk={chunk}")
 
+    # per-image id_base (the tiled path's tile_idx*D offsets)
+    ib = jnp.asarray([0, 100, 40], jnp.int32)
+    ref_l2, _ = jax.vmap(
+        lambda m, bx, sc, v, o: paste_masks(m, bx, sc, v, h, w, id_base=o)
+    )(masks, boxes_j, scores_j, valid_j, ib)
+    got_l2, _ = paste_masks_batch(masks, boxes_j, scores_j, valid_j,
+                                  h, w, box_chunk=7, id_base=ib)
+    np.testing.assert_array_equal(np.asarray(got_l2), np.asarray(ref_l2))
+
 
 def test_paste_ignores_invalid():
     label, _ = paste_masks(
