@@ -151,6 +151,9 @@ class TrainConfig:
     # checkpoint semantics mirror the reference: epoch-numbered files + --resume
     save_dir: str = "weights"
     save_every_epochs: int = 1
+    eval_every_epochs: int = 0         # run held-out AP every N epochs
+                                       # during training (0 = off); results
+                                       # land in metrics.jsonl + the log
     resume: str = ""                   # path or "" (fresh start)
     # data-parallel mesh (SURVEY §2.10): number of chips on the "data" axis;
     # 0 = use all visible devices
@@ -377,6 +380,9 @@ def build_train_parser() -> argparse.ArgumentParser:
     p.add_argument("--save_every", type=int, default=1,
                    help="checkpoint every N epochs (the final epoch always "
                         "saves)")
+    p.add_argument("--eval_every", type=int, default=0,
+                   help="evaluate held-out AP every N epochs during "
+                        "training (0 = off); rows land in metrics.jsonl")
     p.add_argument("--resume", default="", nargs="?", const="latest",
                    help="checkpoint path, or bare flag to resume the latest")
     p.add_argument("--ngpus", "--num_devices", dest="num_devices", type=int,
@@ -472,6 +478,7 @@ def config_from_train_args(a: argparse.Namespace) -> Config:
                                   steps_per_epoch=a.steps_per_epoch,
                                   save_dir=a.save_dir, resume=a.resume,
                                   save_every_epochs=max(a.save_every, 1),
+                                  eval_every_epochs=max(a.eval_every, 0),
                                   num_devices=a.num_devices, seed=a.seed,
                                   ema_decay=a.ema_decay),
         infer=c.infer,

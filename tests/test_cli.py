@@ -22,9 +22,10 @@ def test_train_flags_reach_config():
         "--remat", "--ngpus", "4", "--seed", "5", "--K", "64",
         "--max_detections", "96", "--conf_thresh", "0.2", "--nms_iou", "0.4",
         "--max_box_size", "80", "--save_dir", "/tmp/w", "--resume",
-        "--aug_scale", "0.6,1.5", "--aug_rotate", "15",
+        "--aug_scale", "0.6,1.5", "--aug_rotate", "15", "--eval_every", "5",
     ])
     cfg = config_from_train_args(args)
+    assert cfg.train.eval_every_epochs == 5
     assert cfg.data.scale_range == (0.6, 1.5)
     assert cfg.data.rotate_deg == 15.0
     assert cfg.data.dataset == "synthetic_crowded"

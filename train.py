@@ -126,6 +126,43 @@ def main() -> None:
              len(ds), time.time() - t_stats, max_side, p99_side,
              cfg.data.input_size)
 
+    # --- optional in-training evaluation (--eval_every) -------------------
+    # one infer program compiled lazily on first use; raw and EMA params run
+    # through the SAME compiled fn (param values are runtime inputs)
+    eval_state = {}
+
+    def run_eval(params):
+        if not eval_state:
+            from kgtpu.data.loader import _prepare_sample
+            from kgtpu.infer import build_infer_fn
+            vds = build_dataset(cfg.data, split="test")
+            vrng = np.random.default_rng(0)
+            # capped: this is a training-progress signal, not the final
+            # eval — full-split numbers come from test.py + eval.py
+            samples = [_prepare_sample(vds[i], cfg.data, augment=False,
+                                       rng=vrng)
+                       for i in range(min(len(vds), 32))]
+            eval_state["imgs"] = jax.numpy.asarray(
+                np.stack([s["image"] for s in samples]))
+            eval_state["gts"] = [s["label_map"] for s in samples]
+            eval_state["fn"] = build_infer_fn(model, cfg)
+        from kgtpu import evaluate
+        if mesh is not None:
+            # params live replicated on the mesh; the eval program is a
+            # plain single-device jit — round-trip through host numpy
+            params = jax.tree.map(np.asarray, params)
+        out = eval_state["fn"](params, eval_state["imgs"])
+        labs = np.asarray(out["label_map"])
+        scs = np.asarray(out["scores"])
+        recs = [{"pred_label": labs[i], "scores": scs[i],
+                 "gt_label": eval_state["gts"][i]}
+                for i in range(len(eval_state["gts"]))]
+        r = evaluate.evaluate_dsb2018(recs)
+        rc = evaluate.evaluate_coco(recs)
+        return {"val_mAP_dsb": round(r["mAP_dsb2018"], 4),
+                "val_AP_coco": round(rc["AP_coco"], 4),
+                "val_AP50": round(rc["AP50"], 4)}
+
     for epoch in range(start_epoch, tcfg.num_epochs):
         it = batch_iterator(ds, cfg.data, tcfg.batch_size, augment=True,
                             seed=tcfg.seed + epoch, steps=steps_per_epoch)
@@ -146,12 +183,23 @@ def main() -> None:
         if profile_dir and epoch == start_epoch:
             jax.profiler.stop_trace()
             log.info("profile written to %s", profile_dir)
+        val = {}
+        if (tcfg.eval_every_epochs
+                and (epoch + 1) % tcfg.eval_every_epochs == 0):
+            t_ev = time.time()
+            val = run_eval(state.params)
+            if state.ema_params is not None:
+                val.update({k + "_ema": v for k, v in
+                            run_eval(state.ema_params).items()})
+            log.info("epoch %d held-out eval (%.0fs): %s",
+                     epoch, time.time() - t_ev, val)
         # structured per-epoch metrics (SURVEY.md §5 observability)
         import json
         with open(metrics_path, "a") as f:
             f.write(json.dumps({
                 "epoch": epoch,
                 **{k: round(float(v), 6) for k, v in metrics.items()},
+                **val,
                 "img_per_sec": round(seen / max(time.time() - t0, 1e-6), 2),
             }) + "\n")
         if (epoch + 1) % tcfg.save_every_epochs == 0 or epoch == tcfg.num_epochs - 1:
