@@ -108,10 +108,23 @@ def latest_path(save_dir: str) -> str | None:
 
 
 def resolve(path_or_dir: str) -> str:
-    """Accept a checkpoint dir, a weights dir, or 'latest' inside a dir."""
+    """Accept a checkpoint dir (→ latest model_<epoch>), a concrete
+    model_<epoch> path, or `<dir>/best` (→ the epoch recorded in the
+    `best.json` written by train.py's --eval_every best tracking)."""
     p = os.path.abspath(path_or_dir)
     if os.path.basename(p).startswith("model_"):
         return p
+    if os.path.basename(p) == "best":
+        import json
+
+        marker = os.path.join(os.path.dirname(p), "best.json")
+        if not os.path.isfile(marker):
+            raise FileNotFoundError(
+                f"{marker} not found — 'best' selection needs a run trained "
+                "with --eval_every (which writes it on every improvement)")
+        with open(marker) as f:
+            best = json.load(f)
+        return os.path.join(os.path.dirname(p), f"model_{best['epoch']}")
     latest = latest_path(p)
     if latest is None:
         raise FileNotFoundError(f"no model_<epoch> checkpoints under {p}")

@@ -50,6 +50,22 @@ def test_latest_selection(tmp_path, state):
     assert checkpoint.resolve(d).endswith("model_10")
 
 
+def test_resolve_best_selector(tmp_path, state):
+    """`<dir>/best` resolves through the best.json marker that train.py's
+    --eval_every best tracking writes; missing marker raises with a hint."""
+    import json
+
+    d = str(tmp_path / "weights")
+    checkpoint.save(d, epoch=3, state=state)
+    checkpoint.save(d, epoch=7, state=state)
+    with pytest.raises(FileNotFoundError):
+        checkpoint.resolve(os.path.join(d, "best"))
+    with open(os.path.join(d, "best.json"), "w") as f:
+        json.dump({"epoch": 3, "metric": 0.9}, f)
+    assert checkpoint.resolve(os.path.join(d, "best")).endswith("model_3")
+    assert checkpoint.resolve(d).endswith("model_7")   # latest unaffected
+
+
 def test_restore_params_only(tmp_path, state):
     d = str(tmp_path / "weights")
     path = checkpoint.save(d, epoch=0, state=state)

@@ -130,6 +130,12 @@ def main() -> None:
     # one infer program compiled lazily on first use; raw and EMA params run
     # through the SAME compiled fn (param values are runtime inputs)
     eval_state = {}
+    best_val = {"epoch": -1, "metric": -1.0}
+    _best_marker = os.path.join(tcfg.save_dir, "best.json")
+    if tcfg.resume and os.path.isfile(_best_marker):
+        import json as _json
+        with open(_best_marker) as f:
+            best_val = _json.load(f)   # don't let a resumed run regress it
 
     def run_eval(params):
         if not eval_state:
@@ -193,6 +199,23 @@ def main() -> None:
                             run_eval(state.ema_params).items()})
             log.info("epoch %d held-out eval (%.0fs): %s",
                      epoch, time.time() - t_ev, val)
+            # best-checkpoint tracking: the deployable metric is the EMA
+            # mAP when EMA is on (what --use_ema evals), else the raw one
+            cur = val.get("val_mAP_dsb_ema", val["val_mAP_dsb"])
+            if cur > best_val["metric"]:
+                best_val.update(epoch=epoch, metric=cur)
+                on_save_grid = ((epoch + 1) % tcfg.save_every_epochs == 0
+                                or epoch == tcfg.num_epochs - 1)
+                if not on_save_grid:   # the regular branch below saves it
+                    checkpoint.save(tcfg.save_dir, epoch, state,
+                                    extra=data_stats, block=False)
+                import json as _json
+                with open(os.path.join(tcfg.save_dir, "best.json"),
+                          "w") as f:
+                    _json.dump(best_val, f)
+                log.info("new best val mAP %.4f at epoch %d -> best.json "
+                         "(use --weights %s/best)", cur, epoch,
+                         tcfg.save_dir)
         # structured per-epoch metrics (SURVEY.md §5 observability)
         import json
         with open(metrics_path, "a") as f:
