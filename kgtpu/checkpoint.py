@@ -160,7 +160,11 @@ def restore(path_or_dir: str, state=None) -> dict:
         template["batch_stats"] = state.batch_stats
     if getattr(state, "ema_params", None) is not None:
         template["ema_params"] = state.ema_params
-    payload = _ckptr().restore(path, item=template)
+    # partial: train.py checkpoints carry an `extra` stats payload the
+    # resumed trainer recomputes anyway; without partial_restore orbax
+    # rejects the template/disk structure mismatch outright
+    payload = _ckptr().restore(
+        path, args=ocp.args.PyTreeRestore(item=template, partial_restore=True))
     new_state = state.replace(
         params=payload["params"],
         opt_state=payload["opt_state"],

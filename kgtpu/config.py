@@ -155,6 +155,11 @@ class TrainConfig:
                                        # during training (0 = off); results
                                        # land in metrics.jsonl + the log
     resume: str = ""                   # path or "" (fresh start)
+    # host-RSS watchdog (SURVEY §5 failure recovery): past this many GB the
+    # run checkpoints and re-execs itself with --resume at the next epoch
+    # boundary (the remote-TPU tunnel client leaks host memory per dispatch;
+    # see kgtpu/utils/host.py). -1 = auto (75% of MemTotal), 0 = off.
+    rss_limit_gb: float = -1.0
     # data-parallel mesh (SURVEY §2.10): number of chips on the "data" axis;
     # 0 = use all visible devices
     num_devices: int = 0
@@ -385,6 +390,9 @@ def build_train_parser() -> argparse.ArgumentParser:
                         "training (0 = off); rows land in metrics.jsonl")
     p.add_argument("--resume", default="", nargs="?", const="latest",
                    help="checkpoint path, or bare flag to resume the latest")
+    p.add_argument("--rss_limit_gb", type=float, default=-1.0,
+                   help="host-RSS watchdog: checkpoint + self-restart past "
+                        "this many GB (-1 = auto 75%% of RAM, 0 = off)")
     p.add_argument("--ngpus", "--num_devices", dest="num_devices", type=int,
                    default=0, help="devices on the data axis (0 = all visible)")
     p.add_argument("--profile_dir", default="",
@@ -480,7 +488,8 @@ def config_from_train_args(a: argparse.Namespace) -> Config:
                                   save_every_epochs=max(a.save_every, 1),
                                   eval_every_epochs=max(a.eval_every, 0),
                                   num_devices=a.num_devices, seed=a.seed,
-                                  ema_decay=a.ema_decay),
+                                  ema_decay=a.ema_decay,
+                                  rss_limit_gb=a.rss_limit_gb),
         infer=c.infer,
     )
 

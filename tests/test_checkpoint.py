@@ -79,3 +79,18 @@ def test_restore_params_only(tmp_path, state):
 def test_resolve_missing_raises(tmp_path):
     with pytest.raises(FileNotFoundError):
         checkpoint.resolve(str(tmp_path / "nope"))
+
+
+def test_resume_restore_with_extra_payload(tmp_path, state):
+    """Regression: train.py checkpoints always carry an `extra` stats dict;
+    restore(state=...) must tolerate it (partial restore) — this is the
+    exact shape every real `--resume` sees."""
+    d = str(tmp_path / "weights")
+    extra = {"max_gt_box_side_px": np.float32(40.0),
+             "config_json": np.frombuffer(b'{"x":1}', np.uint8).copy()}
+    checkpoint.save(d, epoch=7, state=state, extra=extra)
+    out = checkpoint.restore(d, state=state)
+    assert out["epoch"] == 7
+    for x, y in zip(jax.tree.leaves(state.params),
+                    jax.tree.leaves(out["state"].params)):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))

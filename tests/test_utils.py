@@ -65,3 +65,26 @@ def test_checked_group_and_paste_clean():
         lambda m, b: paste_masks(m, b, jnp.ones(8), jnp.ones(8, bool),
                                  32, 32)))(masks, boxes)
     err2.throw()
+
+
+def test_host_rss_and_limits():
+    from kgtpu.utils.host import default_rss_limit_gb, host_rss_gb
+    rss = host_rss_gb()
+    assert 0.01 < rss < 200          # a live python process, not a typo
+    lim = default_rss_limit_gb()
+    assert lim == 0.0 or lim > rss   # auto limit must sit above current use
+
+
+def test_restart_argv_rewrites_resume():
+    from kgtpu.utils.host import restart_argv
+    # fresh run -> bare --resume appended
+    assert restart_argv(["train.py", "--num_epochs", "5"]) == [
+        "train.py", "--num_epochs", "5", "--resume"]
+    # explicit path rewritten to bare (latest supersedes the original src)
+    assert restart_argv(["train.py", "--resume", "/old/ckpt", "-x"]) == [
+        "train.py", "-x", "--resume"]
+    assert restart_argv(["train.py", "--resume=/old/ckpt"]) == [
+        "train.py", "--resume"]
+    # bare --resume followed by another flag keeps that flag
+    assert restart_argv(["train.py", "--resume", "--seed", "3"]) == [
+        "train.py", "--seed", "3", "--resume"]

@@ -88,6 +88,18 @@ def main() -> None:
     metrics_path = os.path.join(tcfg.save_dir, "metrics.jsonl")
     os.makedirs(tcfg.save_dir, exist_ok=True)
 
+    # host-RSS watchdog (SURVEY §5 failure recovery): the remote-TPU tunnel
+    # client leaks host memory per dispatch (~15 MB/step measured; the kgtpu
+    # step path holds RSS flat on the CPU backend), so a multi-hour run gets
+    # OOM-killed mid-schedule. Past the limit we checkpoint and re-exec with
+    # --resume at an epoch boundary — clean heap, zero lost epochs.
+    from kgtpu.utils.host import (default_rss_limit_gb, host_rss_gb,
+                                  reexec, restart_argv)
+    rss_limit = (default_rss_limit_gb() if tcfg.rss_limit_gb < 0
+                 else tcfg.rss_limit_gb)
+    if rss_limit:
+        log.info("host-RSS watchdog armed at %.1f GB", rss_limit)
+
     # dataset size statistics, stored with every checkpoint: test.py derives
     # the grouper's ghost-killing size prior from them (DESIGN.md rule 3).
     # Scanned over the FULL dataset — a partial scan in dataset order can
@@ -224,13 +236,27 @@ def main() -> None:
                 **{k: round(float(v), 6) for k, v in metrics.items()},
                 **val,
                 "img_per_sec": round(seen / max(time.time() - t0, 1e-6), 2),
+                "host_rss_gb": round(host_rss_gb(), 2),
             }) + "\n")
-        if (epoch + 1) % tcfg.save_every_epochs == 0 or epoch == tcfg.num_epochs - 1:
+        saved_this_epoch = (
+            (epoch + 1) % tcfg.save_every_epochs == 0
+            or epoch == tcfg.num_epochs - 1)
+        if saved_this_epoch:
             # async: the disk write overlaps the next epoch's steps; orbax
             # queues/serializes saves, and wait() below flushes before exit
             path = checkpoint.save(tcfg.save_dir, epoch, state,
                                    extra=data_stats, block=False)
             log.info("saving %s (async)", path)
+        rss = host_rss_gb()
+        if rss_limit and rss > rss_limit and epoch < tcfg.num_epochs - 1:
+            if not saved_this_epoch:
+                checkpoint.save(tcfg.save_dir, epoch, state,
+                                extra=data_stats, block=False)
+            checkpoint.wait()
+            log.warning("host RSS %.1f GB > limit %.1f GB — checkpoint "
+                        "flushed at epoch %d, re-exec'ing with --resume",
+                        rss, rss_limit, epoch)
+            reexec(restart_argv(sys.argv))
     checkpoint.wait()
     log.info("all checkpoints flushed")
 
