@@ -123,4 +123,17 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except RuntimeError as e:
+        # Transient tunnel outage ("Unable to initialize backend ...
+        # UNAVAILABLE"): retry in a FRESH process — jax caches the failed
+        # backend init, so an in-process retry would see the same error.
+        tries = int(os.environ.get("KGTPU_BENCH_RETRY", "0"))
+        if "nable to initialize backend" not in str(e) or tries >= 5:
+            raise
+        print(f"TPU backend unavailable (attempt {tries + 1}/5), "
+              "retrying in 120s", file=sys.stderr)
+        time.sleep(120)
+        os.environ["KGTPU_BENCH_RETRY"] = str(tries + 1)
+        os.execv(sys.executable, [sys.executable] + sys.argv)

@@ -23,6 +23,8 @@ Package layout (SURVEY.md §7.1):
   evaluate     — host-side mask AP                                  [C17]
   checkpoint   — orbax-backed save/load with reference-like naming  [C18]
   parallel/    — mesh construction and sharding rules               [§2.10]
+  predictor    — high-level serving API (checkpoint in, instances out)
+  export       — AOT serving artifacts: jax.export → StableHLO, weights baked
 """
 
 from kgtpu.version import __version__
