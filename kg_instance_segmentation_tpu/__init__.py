@@ -41,6 +41,7 @@ from kgtpu import (  # noqa: F401,E402
     config,
     data,
     evaluate,
+    export,
     infer,
     losses,
     models,
