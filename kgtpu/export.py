@@ -37,38 +37,77 @@ __all__ = ["export_infer", "load_serving"]
 
 def export_infer(checkpoint_path: str, out_path: str, *, batch: int = 8,
                  input_size: int | None = None, use_ema: bool = False,
-                 platforms: tuple[str, ...] | None = None) -> dict:
+                 platforms: tuple[str, ...] | None = None,
+                 mode: str = "single",
+                 test_scales: tuple[float, ...] | None = None,
+                 test_flip: bool | None = None,
+                 slide_hw: tuple[int, int] | None = None,
+                 tile_size: int | None = None) -> dict:
     """Export the checkpoint's inference program to `out_path`.
 
-    Weights are baked in (the artifact is self-contained); input is raw
-    uint8 ``(batch, input_size, input_size, 3)`` — the production input
-    contract (device-side normalization, 4x smaller transfers).  Returns a
-    small manifest dict (also useful for logging).
+    Weights are baked in (the artifact is self-contained); inputs are raw
+    uint8 pixels — the production input contract (device-side
+    normalization, 4x smaller transfers).  Returns a manifest dict whose
+    ``inputs`` entry records the exact serving-call shapes.
+
+    mode="single": images (batch, size, size, 3).
+    mode="tta":    dict {"<scale>": (batch, side_s, side_s, 3)} with
+                   side_s = round-to-divisor(scale * size) — the same
+                   per-scale sides test.py feeds build_multiscale_fn.
+    mode="tiled":  one whole slide (H, W, 3) of static `slide_hw`
+                   (BASELINE config 5's one-call whole-slide program).
     """
     from jax import export as jexport
 
     from kgtpu import checkpoint as ckpt
     from kgtpu.config import Config
-    from kgtpu.infer import build_infer_fn
+    from kgtpu.infer import (build_infer_fn, build_multiscale_fn,
+                             build_tiled_infer_fn)
     from kgtpu.models import KGNet, required_divisor
 
     params, extra = ckpt.restore_bundle(checkpoint_path, use_ema=use_ema)
     stored = ckpt.decode_config(extra)
     cfg = Config() if stored is None else dataclasses.replace(
         Config(), model=stored.model)
+    infer_overrides = {}
     if input_size is not None:
+        infer_overrides["input_size"] = input_size
+    if test_scales is not None:
+        infer_overrides["test_scales"] = tuple(test_scales)
+    if test_flip is not None:
+        infer_overrides["test_flip"] = test_flip
+    if tile_size is not None:
+        infer_overrides["tile_size"] = tile_size
+    if infer_overrides:
         cfg = dataclasses.replace(
-            cfg, infer=dataclasses.replace(cfg.infer, input_size=input_size))
+            cfg, infer=dataclasses.replace(cfg.infer, **infer_overrides))
     size = cfg.infer.input_size
     div = required_divisor(cfg.model)
-    if size % div:
-        raise ValueError(f"input_size {size} must be divisible by {div}")
+    checked = cfg.infer.tile_size if mode == "tiled" else size
+    if checked % div:
+        raise ValueError(f"input side {checked} must be divisible by {div}")
 
     model = KGNet(cfg=cfg.model)
-    infer = build_infer_fn(model, cfg)
-    serve = jax.jit(lambda images: infer(params, images))  # bake the weights
+    if mode == "single":
+        fn = build_infer_fn(model, cfg)
+        spec = jax.ShapeDtypeStruct((batch, size, size, 3), np.uint8)
+    elif mode == "tta":
+        fn = build_multiscale_fn(model, cfg)
+        # per-scale sides: test.py's round-to-divisor rule
+        spec = {
+            f"{sc:g}": jax.ShapeDtypeStruct(
+                (batch, max(round(size * sc / div), 1) * div,
+                 max(round(size * sc / div), 1) * div, 3), np.uint8)
+            for sc in cfg.infer.test_scales}
+    elif mode == "tiled":
+        if slide_hw is None:
+            raise ValueError('mode="tiled" needs slide_hw=(H, W)')
+        fn = build_tiled_infer_fn(model, cfg, slide_hw)
+        spec = jax.ShapeDtypeStruct((*slide_hw, 3), np.uint8)
+    else:
+        raise ValueError(f"unknown export mode {mode!r}")
+    serve = jax.jit(lambda images: fn(params, images))  # bake the weights
 
-    spec = jax.ShapeDtypeStruct((batch, size, size, 3), np.uint8)
     kwargs = {}
     if platforms:
         kwargs["platforms"] = list(platforms)
@@ -76,14 +115,18 @@ def export_infer(checkpoint_path: str, out_path: str, *, batch: int = 8,
     blob = exported.serialize()
     with open(out_path, "wb") as f:
         f.write(blob)
+    out_leaves = exported.out_tree.unflatten(
+        [None] * exported.out_tree.num_leaves)
     return {
         "out": out_path,
         "bytes": len(blob),
+        "mode": mode,
         "batch": batch,
         "input_size": size,
+        "inputs": jax.tree.map(lambda s: list(s.shape), spec),
         "platforms": list(exported.platforms),
-        "outputs": sorted(exported.out_tree.unflatten(
-            [None] * exported.out_tree.num_leaves).keys()),
+        "outputs": (sorted(out_leaves.keys())
+                    if isinstance(out_leaves, dict) else None),
     }
 
 
@@ -122,10 +165,30 @@ def _main() -> None:
     p.add_argument("--platforms", default="",
                    help="comma list, e.g. 'tpu,cpu' (default: current "
                         "backend only)")
+    p.add_argument("--tta", action="store_true",
+                   help="export the multi-scale TTA program "
+                        "(inputs: dict of per-scale image batches)")
+    p.add_argument("--test_scales", default="",
+                   help="TTA scales, e.g. '0.75,1.0,1.25'")
+    p.add_argument("--test_flip", action="store_true")
+    p.add_argument("--slide", default="",
+                   help="'H,W' — export the one-call whole-slide tiled "
+                        "program for this static slide size")
+    p.add_argument("--tile_size", type=int, default=0,
+                   help="tile side for --slide mode (0 = config default)")
     a = p.parse_args()
+    if a.tta and a.slide:
+        raise SystemExit("--tta and --slide are exclusive")
+    mode = "tta" if a.tta else ("tiled" if a.slide else "single")
     manifest = export_infer(
-        a.weights, a.out, batch=a.batch,
+        a.weights, a.out, batch=a.batch, mode=mode,
         input_size=a.input_size or None, use_ema=a.use_ema,
+        test_scales=(tuple(float(s) for s in a.test_scales.split(","))
+                     if a.test_scales else None),
+        test_flip=a.test_flip or None,
+        slide_hw=(tuple(int(s) for s in a.slide.split(","))
+                  if a.slide else None),
+        tile_size=a.tile_size or None,
         platforms=tuple(s for s in a.platforms.split(",") if s) or None)
     import json
 

@@ -67,3 +67,33 @@ def test_export_rejects_bad_canvas(tmp_path):
         assert "divisible" in str(e)
     else:
         raise AssertionError("expected ValueError on non-dividing canvas")
+
+
+def test_export_tta_mode(tmp_path):
+    d = str(tmp_path / "w")
+    _save_tiny_ckpt(d)
+    art = str(tmp_path / "tta.kgx")
+    m = export_infer(d, art, batch=1, input_size=128, mode="tta",
+                     test_scales=(0.75, 1.0))
+    sides = {k: v[1] for k, v in m["inputs"].items()}
+    assert sides["1"] == 128 and sides["0.75"] == 96  # round-to-divisor
+    serve = load_serving(art)
+    rng = np.random.default_rng(1)
+    out = serve({k: rng.integers(0, 256, (1, s, s, 3), np.uint8)
+                 for k, s in sides.items()})
+    assert np.asarray(out["label_map"]).shape == (1, 128, 128)
+
+
+def test_export_tiled_mode(tmp_path):
+    d = str(tmp_path / "w")
+    tiny, _ = _save_tiny_ckpt(d)
+    art = str(tmp_path / "tiled.kgx")
+    # tiny model: keep the slide small; tile_size must divide by the
+    # backbone divisor — use the 128 canvas as the tile
+    m = export_infer(d, art, mode="tiled", slide_hw=(192, 192),
+                     input_size=128, tile_size=128)
+    assert m["inputs"] == [192, 192, 3]
+    serve = load_serving(art)
+    rng = np.random.default_rng(2)
+    out = serve(rng.integers(0, 256, (192, 192, 3), np.uint8))
+    assert np.asarray(out["label_map"]).shape == (192, 192)
