@@ -152,3 +152,52 @@ def test_tiled_sharded_matches_unsharded():
                                   np.asarray(out8["label_map"]))
     np.testing.assert_allclose(np.asarray(out1["scores"]),
                                np.asarray(out8["scores"]), atol=2e-4)
+
+
+def test_resume_matches_uninterrupted_training(tmp_path):
+    """The restart/resume contract behind --resume and the host-RSS
+    watchdog: train 2 epochs, checkpoint, restore into a FRESH state, train
+    2 more — params/opt/EMA must bit-match 4 uninterrupted epochs (the
+    no-RNG-in-checkpoint design: per-step keys are fold_in(seed,
+    epoch*100000+step) and the loader reseeds per epoch, so the schedule
+    position is the only state — and it is saved)."""
+    from kgtpu import checkpoint
+
+    cfg = tiny_test_config()
+    cfg = dataclasses.replace(
+        cfg, train=dataclasses.replace(
+            cfg.train, lr_warmup_steps=1, lr_schedule="cosine",
+            num_epochs=4, steps_per_epoch=2, ema_decay=0.9))
+    model = KGNet(cfg=cfg.model)
+    ds = build_dataset(cfg.data)
+    rng = jax.random.PRNGKey(cfg.train.seed)
+    step_fn = train_lib.make_train_step(model, cfg, mesh=None)
+
+    def run_epochs(state, start, stop):
+        for epoch in range(start, stop):
+            it = batch_iterator(ds, cfg.data, cfg.train.batch_size,
+                                augment=True, seed=cfg.train.seed + epoch,
+                                steps=cfg.train.steps_per_epoch)
+            for i, batch in enumerate(it):
+                state, _ = step_fn(
+                    state, batch,
+                    jax.random.fold_in(rng, epoch * 100_000 + i))
+        return state
+
+    straight = run_epochs(train_lib.create_train_state(cfg, rng), 0, 4)
+
+    half = run_epochs(train_lib.create_train_state(cfg, rng), 0, 2)
+    d = str(tmp_path / "w")
+    checkpoint.save(d, epoch=1, state=half,
+                    extra={"max_gt_box_side_px": np.float32(1.0)})
+    fresh = train_lib.create_train_state(cfg, rng)
+    out = checkpoint.restore(d, state=fresh)
+    assert out["epoch"] == 1
+    resumed = run_epochs(out["state"], out["epoch"] + 1, 4)
+
+    for name, a, b in [("params", straight.params, resumed.params),
+                       ("ema", straight.ema_params, resumed.ema_params)]:
+        for x, y in zip(jax.tree.leaves(a), jax.tree.leaves(b)):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y),
+                                          err_msg=name)
+    assert int(straight.step) == int(resumed.step)
