@@ -98,14 +98,10 @@ def main() -> None:
         if base:
             vs = img_s / base
 
-    # bf16 peak FLOP/s by device generation (MXU compute path is bf16)
-    kind = getattr(jax.devices()[0], "device_kind", "").lower()
-    peak = None
-    for tag, p in (("v5 lite", 197e12), ("v5e", 197e12), ("v5p", 459e12),
-                   ("v4", 275e12), ("v6", 918e12)):
-        if tag in kind:
-            peak = p
-            break
+    # bf16 peak FLOP/s by device generation (MXU compute path is bf16);
+    # single source of truth shared with roofline.py / bench_config2
+    from benchmarks.common import device_peak
+    peak, _ = device_peak()
     mfu = (flops_img * img_s / peak) if (peak and flops_img) else None
 
     print(json.dumps({

@@ -10,7 +10,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 import numpy as np
 
-from benchmarks.common import bench_fn, cost_analysis, device_peak, emit
+from benchmarks.common import bench_fn, device_peak, emit
 from kgtpu import train_lib
 from kgtpu.config import Config
 from kgtpu.data import build_dataset, make_batch
@@ -37,10 +37,11 @@ def main():
 
     # bench the step without donation (bench_fn re-uses inputs)
     fn = lambda s, b, k: step(s, b, k)[1]
-    r = bench_fn(fn, state, batch, rng, iters=10, warmup=2)
     # train MFU / roofline position (VERDICT r2 item 3): FLOPs of the exact
     # fwd+bwd+update program vs the bf16 peak, and the HBM-bandwidth bound
-    flops, nbytes = cost_analysis(fn, state, batch, rng)
+    # (cost analysis from the SAME compiled program — no second XLA compile)
+    r = bench_fn(fn, state, batch, rng, iters=10, warmup=2, with_cost=True)
+    flops, nbytes = r["flops"], r["bytes"]
     peak_fl, peak_bw = device_peak()
     img_s = bs * r["calls_per_sec"]
     mfu = (flops / bs) * img_s / peak_fl if peak_fl else None

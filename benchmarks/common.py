@@ -21,22 +21,44 @@ def force_scalar(tree) -> jnp.ndarray:
     return sum(leaves)
 
 
-def bench_fn(fn, *args, iters: int = 10, warmup: int = 2) -> dict:
-    """fn(*args) → pytree.  Returns {sec_per_call, calls_per_sec}."""
+def bench_fn(fn, *args, iters: int = 10, warmup: int = 2,
+             with_cost: bool = False) -> dict:
+    """fn(*args) → pytree.  Returns {sec_per_call, calls_per_sec}.
+
+    with_cost=True adds {"flops", "bytes"} from the cost analysis of the
+    SAME compiled program being timed (the scalar reduction adds a few
+    adds per leaf — noise).  Prefer this over a separate `cost_analysis`
+    call: jit(fn) would be a second full XLA compile, which has measured
+    in minutes for whole-pipeline programs on the tunneled dev TPU.
+    """
     red = jax.jit(lambda *a: force_scalar(fn(*a)))
-    float(red(*args))                       # compile
+    compiled = red.lower(*args).compile()   # populates red's jit cache
+    out = {}
+    if with_cost:
+        c = compiled.cost_analysis() or {}
+        if isinstance(c, (list, tuple)):
+            c = c[0] if c else {}
+        out["flops"] = float(c.get("flops", 0.0))
+        out["bytes"] = float(c.get("bytes accessed",
+                                   c.get("bytes_accessed", 0.0)))
+    float(red(*args))                       # warm (compile done above)
     for _ in range(warmup):
         float(red(*args))
     t0 = time.perf_counter()
     vals = [red(*args) for _ in range(iters)]
     _ = [float(v) for v in vals]            # pipelined drain
     dt = time.perf_counter() - t0
-    return {"sec_per_call": dt / iters, "calls_per_sec": iters / dt}
+    out.update(sec_per_call=dt / iters, calls_per_sec=iters / dt)
+    return out
 
 
 def cost_analysis(fn, *args) -> tuple[float, float]:
-    """(flops, bytes_accessed) of jit(fn)(*args)'s compiled program.  Shares
-    the jit cache with later calls of the same jitted fn."""
+    """(flops, bytes_accessed) of jit(fn)(*args)'s compiled program.
+
+    NOTE: this compiles jit(fn) itself — when also TIMING the same fn, use
+    `bench_fn(..., with_cost=True)` instead, which reads the analysis off
+    the one program it times (a second whole-pipeline compile has measured
+    in minutes on the tunneled dev TPU)."""
     c = jax.jit(fn).lower(*args).compile().cost_analysis() or {}
     if isinstance(c, (list, tuple)):
         c = c[0] if c else {}

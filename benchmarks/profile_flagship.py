@@ -42,14 +42,6 @@ from kgtpu.ops.preprocess import normalize_images
 from kgtpu.train_lib import create_train_state
 
 
-def _cost(fn, *args):
-    c = jax.jit(fn).lower(*args).compile().cost_analysis() or {}
-    if isinstance(c, (list, tuple)):
-        c = c[0] if c else {}
-    return (float(c.get("flops", 0.0)),
-            float(c.get("bytes accessed", c.get("bytes_accessed", 0.0))))
-
-
 def main():
     batch = int(sys.argv[1]) if len(sys.argv) > 1 and sys.argv[1].isdigit() \
         else int(os.environ.get("KGTPU_BENCH_BATCH", "32"))
@@ -102,8 +94,11 @@ def main():
     prev_ms = 0.0
     prev_fl = 0.0
     for name, fn in stages:
-        r = bench_fn(fn, state.params, images, iters=10, warmup=2)
-        fl, by = _cost(fn, state.params, images)
+        # cost from the SAME compiled program being timed — a separate
+        # jit(fn) would be a second full XLA compile per stage
+        r = bench_fn(fn, state.params, images, iters=10, warmup=2,
+                     with_cost=True)
+        fl, by = r["flops"], r["bytes"]
         ms = 1000 * r["sec_per_call"] / batch
         results.append({
             "stage": name,

@@ -28,8 +28,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from benchmarks.common import (bench_fn, cost_analysis, device_peak, emit,
-                               pin_valid_dets)
+from benchmarks.common import bench_fn, device_peak, emit, pin_valid_dets
 from kgtpu import train_lib
 from kgtpu.config import Config
 from kgtpu.data import build_dataset, make_batch
@@ -87,8 +86,8 @@ def main():
             ("infer:+decode_group_nms", s2, (state.params, images)),
             ("infer:+roi_maskhead", s3, (state.params, images)),
             ("infer:+paste(full)", s4, (state.params, images))]:
-        r = bench_fn(fn, *args, iters=10, warmup=2)
-        fl, by = cost_analysis(fn, *args)
+        r = bench_fn(fn, *args, iters=10, warmup=2, with_cost=True)
+        fl, by = r["flops"], r["bytes"]
         ms = 1000 * r["sec_per_call"]
         sms, sfl, sby = ms - prev[0], fl - prev[1], by - prev[2]
         prev = (ms, fl, by)
@@ -109,23 +108,28 @@ def main():
         return state.apply_gradients(grads=grads), metrics
 
     fn = lambda s, b, k: tstep(s, b, k)[1]
-    r = bench_fn(fn, state, tbatch, key, iters=10, warmup=2)
-    fl, by = cost_analysis(fn, state, tbatch, key)
+    r = bench_fn(fn, state, tbatch, key, iters=10, warmup=2, with_cost=True)
+    fl, by = r["flops"], r["bytes"]
     rows.append(("train:step(fwd+bwd+update)",
                  1000 * r["sec_per_call"], fl, by))
 
     for name, ms, fl, by in rows:
         comp_ms = 1000 * fl / peak_fl if peak_fl else None
         hbm_ms = 1000 * by / peak_bw if peak_bw else None
+        # unknown device generation (or CPU smoke): no ceilings — report
+        # null rather than a fabricated "hbm-bound at 0%" verdict
+        known = comp_ms is not None or hbm_ms is not None
         floor = max(comp_ms or 0, hbm_ms or 0)
         emit({
             "stage": name,
             "measured_ms": round(ms, 2),
             "compute_floor_ms": round(comp_ms, 2) if comp_ms else None,
             "hbm_floor_ms": round(hbm_ms, 2) if hbm_ms else None,
-            "bound": ("compute" if comp_ms and comp_ms >= (hbm_ms or 0)
+            "bound": (None if not known else
+                      "compute" if comp_ms and comp_ms >= (hbm_ms or 0)
                       else "hbm"),
-            "pct_of_roofline": round(100 * floor / ms, 1) if ms else None,
+            "pct_of_roofline": (round(100 * floor / ms, 1)
+                                if known and ms else None),
             "note": ("measured includes the ~%g ms tunnel dispatch floor "
                      "amortized over the call" % DISPATCH_MS),
         })

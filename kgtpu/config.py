@@ -286,8 +286,13 @@ def apply_model_overrides(model: ModelConfig, a: argparse.Namespace,
         kw["num_stacks"] = a.num_stacks
     if "norm" in explicit:
         kw["norm"] = a.norm
-    if "wh_head" in explicit or "decode" in explicit:
+    if "wh_head" in explicit:
         kw["use_wh_head"] = bool(a.wh_head) or a.decode == "centernet"
+    elif "decode" in explicit and a.decode == "centernet":
+        # centernet decode NEEDS the wh head; but an explicit `--decode kg`
+        # (restating the default) must NOT force the parser-default
+        # wh_head=1 onto a checkpoint trained without one
+        kw["use_wh_head"] = True
     if "inter_inject" in explicit:
         kw["inter_inject"] = a.inter_inject
     if "roi_size" in explicit:

@@ -81,6 +81,16 @@ def export_infer(checkpoint_path: str, out_path: str, *, batch: int = 8,
     if infer_overrides:
         cfg = dataclasses.replace(
             cfg, infer=dataclasses.replace(cfg.infer, **infer_overrides))
+    # same serving semantics as Predictor/test.py: checkpoints trained
+    # without a wh head fall back to the stored-stats size cap, so the
+    # artifact prunes the same ghosts the live paths do
+    from kgtpu.predictor import size_prior_fallback
+    cfg = size_prior_fallback(cfg, extra)
+    if mode == "tta" and 1.0 not in cfg.infer.test_scales:
+        # the mask stage runs on base-scale features; the variant merge maps
+        # everything to scale 1.0 (same rule config.py enforces for test.py)
+        raise ValueError(
+            f"test_scales {cfg.infer.test_scales} must include 1.0")
     size = cfg.infer.input_size
     div = required_divisor(cfg.model)
     checked = cfg.infer.tile_size if mode == "tiled" else size

@@ -33,7 +33,7 @@ from kgtpu.ops.decode import decode_center_wh, decode_peaks
 from kgtpu.ops.group import Boxes, group_keypoints
 from kgtpu.ops.nms import box_nms, merge_scales
 from kgtpu.ops.preprocess import normalize_images
-from kgtpu.ops.roi import crop_and_resize, paste_masks, paste_masks_batch
+from kgtpu.ops.roi import crop_and_resize, paste_masks_batch
 from kgtpu.ops.tiling import (
     extract_tiles,
     ownership_mask,
@@ -51,31 +51,6 @@ def _vars(params) -> dict:
     return {"params": params}
 
 
-def _detect_single(model: KGNet, cfg: Config, params, image: jnp.ndarray
-                   ) -> tuple[Boxes, jnp.ndarray]:
-    """image [H, W, 3] → (detections in stride coords, stride-4 features).
-
-    Box assembly follows cfg.group.method: "kg" = keypoint-graph grouping
-    (the reference's pipeline), "centernet" = center peaks + wh head.
-    """
-    out = model.apply(_vars(params), image[None])
-    last = out["stacks"][-1]
-    if cfg.group.method == "centernet":
-        if "wh" not in last:
-            raise ValueError(
-                'group.method="centernet" needs model.use_wh_head=True')
-        cand = decode_center_wh(
-            last["hm"][0], last["reg"][0], last["wh"][0],
-            cfg.group.max_detections, cfg.group.score_thresh)
-    else:
-        peaks = decode_peaks(last["hm"][0], last["reg"][0],
-                             cfg.group.max_peaks_per_class)
-        cand = group_keypoints(peaks, cfg.group,
-                               kp_wh=_peak_wh(last, peaks, cfg))
-    dets = box_nms(cand, cfg.group.nms_iou)
-    return dets, out["feat"][0]
-
-
 def _peak_wh(last: dict, peaks, cfg: Config, batch_idx: int | None = 0):
     """Gather the size head at each decoded peak ([5, K, 2] stride units),
     or None when the head is absent / size pruning is off."""
@@ -86,23 +61,6 @@ def _peak_wh(last: dict, peaks, cfg: Config, batch_idx: int | None = 0):
     flat = wh.reshape(h * w, 2).astype(jnp.float32)
     c, k = peaks.indices.shape
     return jnp.take(flat, peaks.indices.reshape(-1), axis=0).reshape(c, k, 2)
-
-
-def _mask_single(model: KGNet, cfg: Config, params, feat: jnp.ndarray,
-                 dets: Boxes, height: int, width: int) -> dict:
-    """Stage 2 for one image: boxes (stride coords) → masks + label map."""
-    s = cfg.data.stride
-    logits = model.apply(_vars(params), feat, dets.boxes,
-                         method=KGNet.mask_logits)        # [D, m, m]
-    probs = jax.nn.sigmoid(logits)
-    boxes_px = dets.boxes * s
-    label, score_map = paste_masks(
-        probs, boxes_px, dets.scores, dets.valid, height, width,
-        thresh=cfg.group.mask_thresh)
-    return {
-        "boxes": boxes_px, "scores": dets.scores, "valid": dets.valid,
-        "masks": probs, "label_map": label, "score_map": score_map,
-    }
 
 
 def _decode_image(cfg: Config, hm: jnp.ndarray, reg: jnp.ndarray,

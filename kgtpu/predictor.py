@@ -27,6 +27,26 @@ from kgtpu.infer import build_infer_fn
 from kgtpu.models import KGNet, required_divisor
 
 
+def size_prior_fallback(cfg: Config, extra: dict) -> Config:
+    """The grouper's ghost-killing size cap for checkpoints WITHOUT an
+    active wh-head size gate, derived from the dataset stats stored at
+    train time.  Shared by every serving consumer (Predictor, test.py's
+    equivalent inline logic, kgtpu.export) so the deployment artifact
+    cannot silently diverge from the live paths.  No-op when wh-head
+    pruning is active (the default) or the user already set a cap."""
+    side = float(extra.get("max_gt_box_side_px", 0.0))
+    train_canvas = float(extra.get("train_input_size", 0.0))
+    prune_active = cfg.group.size_prune > 0 and cfg.model.use_wh_head
+    if (side > 0 and train_canvas > 0 and cfg.group.max_box_size >= 1e9
+            and not prune_active):
+        # stats are in train-canvas pixels; rescale to this canvas
+        side_here = side * cfg.infer.input_size / train_canvas
+        cfg = dataclasses.replace(
+            cfg, group=dataclasses.replace(
+                cfg.group, max_box_size=1.5 * side_here / cfg.data.stride))
+    return cfg
+
+
 class Predictor:
     def __init__(self, cfg: Config, params):
         div = required_divisor(cfg.model)
@@ -50,20 +70,7 @@ class Predictor:
             stored = ckpt.decode_config(extra)
             cfg = Config() if stored is None else dataclasses.replace(
                 Config(), model=stored.model)
-        side = float(extra.get("max_gt_box_side_px", 0.0))
-        train_canvas = float(extra.get("train_input_size", 0.0))
-        # fallback only: with wh-head size pruning active (the default) no
-        # dataset size prior is applied — see GroupConfig.size_prune
-        prune_active = cfg.group.size_prune > 0 and cfg.model.use_wh_head
-        if (side > 0 and train_canvas > 0 and cfg.group.max_box_size >= 1e9
-                and not prune_active):
-            # stats are in train-canvas pixels; rescale to this canvas
-            side_here = side * cfg.infer.input_size / train_canvas
-            cfg = dataclasses.replace(
-                cfg, group=dataclasses.replace(
-                    cfg.group,
-                    max_box_size=1.5 * side_here / cfg.data.stride))
-        return cls(cfg, params)
+        return cls(size_prior_fallback(cfg, extra), params)
 
     def predict(self, image: np.ndarray, score_thresh: float | None = None
                 ) -> dict:

@@ -138,3 +138,30 @@ def test_explicit_cli_dests_and_model_overrides():
     assert apply_model_overrides(
         stored, args_d, explicit_cli_dests(parser, ["--weights", "/w"])
     ) == stored
+
+
+def test_decode_flag_does_not_clobber_trained_wh_head():
+    """Regression: `--decode kg` (restating the default) on a checkpoint
+    trained WITHOUT a wh head must not force the parser-default wh_head=1
+    onto the rebuilt model; `--decode centernet` still requires the head."""
+    from kgtpu.config import (ModelConfig, apply_model_overrides,
+                              explicit_cli_dests)
+
+    parser = build_test_parser()
+    stored = ModelConfig(use_wh_head=False)
+
+    argv = ["--weights", "/w", "--decode", "kg"]
+    merged = apply_model_overrides(
+        stored, parser.parse_args(argv), explicit_cli_dests(parser, argv))
+    assert merged.use_wh_head is False
+
+    argv = ["--weights", "/w", "--decode", "centernet"]
+    merged = apply_model_overrides(
+        stored, parser.parse_args(argv), explicit_cli_dests(parser, argv))
+    assert merged.use_wh_head is True
+
+    argv = ["--weights", "/w", "--wh_head", "0"]
+    merged = apply_model_overrides(
+        ModelConfig(use_wh_head=True), parser.parse_args(argv),
+        explicit_cli_dests(parser, argv))
+    assert merged.use_wh_head is False

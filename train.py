@@ -153,7 +153,10 @@ def main() -> None:
         if not eval_state:
             from kgtpu.data.loader import _prepare_sample
             from kgtpu.infer import build_infer_fn
-            vds = build_dataset(cfg.data, split="test")
+            # VAL split — distinct from the test split that test.py/eval.py
+            # report final numbers on; selecting `best` on test would leak
+            # the final eval set into model selection
+            vds = build_dataset(cfg.data, split="val")
             vrng = np.random.default_rng(0)
             # capped: this is a training-progress signal, not the final
             # eval — full-split numbers come from test.py + eval.py
@@ -165,6 +168,11 @@ def main() -> None:
             eval_state["gts"] = [s["label_map"] for s in samples]
             eval_state["fn"] = build_infer_fn(model, cfg)
         from kgtpu import evaluate
+        if state.batch_stats is not None:
+            # BatchNorm models: inference applies with use_running_average,
+            # which needs the batch_stats collection alongside params (the
+            # same full-variables contract restore_bundle gives test.py)
+            params = {"params": params, "batch_stats": state.batch_stats}
         if mesh is not None:
             # params live replicated on the mesh; the eval program is a
             # plain single-device jit — round-trip through host numpy
@@ -216,18 +224,16 @@ def main() -> None:
             cur = val.get("val_mAP_dsb_ema", val["val_mAP_dsb"])
             if cur > best_val["metric"]:
                 best_val.update(epoch=epoch, metric=cur)
+                new_best = True
                 on_save_grid = ((epoch + 1) % tcfg.save_every_epochs == 0
                                 or epoch == tcfg.num_epochs - 1)
                 if not on_save_grid:   # the regular branch below saves it
                     checkpoint.save(tcfg.save_dir, epoch, state,
                                     extra=data_stats, block=False)
-                import json as _json
-                with open(os.path.join(tcfg.save_dir, "best.json"),
-                          "w") as f:
-                    _json.dump(best_val, f)
-                log.info("new best val mAP %.4f at epoch %d -> best.json "
-                         "(use --weights %s/best)", cur, epoch,
-                         tcfg.save_dir)
+            else:
+                new_best = False
+        else:
+            new_best = False
         # structured per-epoch metrics (SURVEY.md §5 observability)
         import json
         with open(metrics_path, "a") as f:
@@ -247,6 +253,17 @@ def main() -> None:
             path = checkpoint.save(tcfg.save_dir, epoch, state,
                                    extra=data_stats, block=False)
             log.info("saving %s (async)", path)
+        if new_best:
+            # only point best.json at model_<epoch> once the (async) save
+            # has finalized — a crash in the window would otherwise leave
+            # `<dir>/best` resolving to a checkpoint that never landed
+            checkpoint.wait()
+            import json as _json
+            with open(os.path.join(tcfg.save_dir, "best.json"), "w") as f:
+                _json.dump(best_val, f)
+            log.info("new best val mAP %.4f at epoch %d -> best.json "
+                     "(use --weights %s/best)", best_val["metric"], epoch,
+                     tcfg.save_dir)
         rss = host_rss_gb()
         if rss_limit and rss > rss_limit and epoch < tcfg.num_epochs - 1:
             if not saved_this_epoch:
