@@ -163,6 +163,11 @@ class TrainConfig:
     # data-parallel mesh (SURVEY §2.10): number of chips on the "data" axis;
     # 0 = use all visible devices
     num_devices: int = 0
+    # optimization steps scanned inside one jitted dispatch (lax.scan over k
+    # device-resident batches).  Identical update sequence to k single-step
+    # dispatches; amortizes per-dispatch host latency (the dev tunnel's
+    # ~24 ms floor) k-fold.  1 = one dispatch per step (reference-like).
+    steps_per_dispatch: int = 1
 
 
 @dataclasses.dataclass(frozen=True)
@@ -400,6 +405,10 @@ def build_train_parser() -> argparse.ArgumentParser:
                         "this many GB (-1 = auto 75%% of RAM, 0 = off)")
     p.add_argument("--ngpus", "--num_devices", dest="num_devices", type=int,
                    default=0, help="devices on the data axis (0 = all visible)")
+    p.add_argument("--steps_per_dispatch", type=int, default=1,
+                   help="train steps scanned inside one jitted dispatch "
+                        "(same update sequence; amortizes per-dispatch host "
+                        "latency — use 8-32 on high-RTT links)")
     p.add_argument("--profile_dir", default="",
                    help="if set, jax.profiler traces train steps here")
     return p
@@ -494,7 +503,9 @@ def config_from_train_args(a: argparse.Namespace) -> Config:
                                   eval_every_epochs=max(a.eval_every, 0),
                                   num_devices=a.num_devices, seed=a.seed,
                                   ema_decay=a.ema_decay,
-                                  rss_limit_gb=a.rss_limit_gb),
+                                  rss_limit_gb=a.rss_limit_gb,
+                                  steps_per_dispatch=max(
+                                      a.steps_per_dispatch, 1)),
         infer=c.infer,
     )
 

@@ -13,6 +13,8 @@ from kgtpu.parallel.mesh import (
     make_mesh,
     replicated,
     shard_batch,
+    stacked_batch_sharding,
 )
 
-__all__ = ["make_mesh", "batch_sharding", "replicated", "shard_batch"]
+__all__ = ["make_mesh", "batch_sharding", "replicated", "shard_batch",
+           "stacked_batch_sharding"]

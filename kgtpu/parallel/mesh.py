@@ -20,6 +20,12 @@ def batch_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
     return NamedSharding(mesh, P(axis))
 
 
+def stacked_batch_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
+    """For [steps, batch, ...] stacks (multi-step dispatch): steps axis
+    replicated, batch axis sharded across the data axis."""
+    return NamedSharding(mesh, P(None, axis))
+
+
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 

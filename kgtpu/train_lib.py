@@ -28,7 +28,7 @@ from kgtpu.models import KGNet
 from kgtpu.ops import targets as targets_ops
 from kgtpu.ops.preprocess import normalize_images
 from kgtpu.ops.roi import crop_and_resize
-from kgtpu.parallel import batch_sharding, replicated
+from kgtpu.parallel import batch_sharding, replicated, stacked_batch_sharding
 
 
 class TrainState(train_state.TrainState):
@@ -193,6 +193,33 @@ def loss_fn(params, batch: dict, rng: jax.Array, model: KGNet, cfg: Config,
     return total, (metrics, new_stats)
 
 
+def _train_step_body(state: TrainState, batch: dict, rng: jax.Array,
+                     model: KGNet, cfg: Config):
+    """One optimization step (traceable; shared by the single-step jit and
+    the multi-step `lax.scan` dispatch)."""
+    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+    (_, (metrics, new_stats)), grads = grad_fn(
+        state.params, batch, rng, model, cfg, state.batch_stats)
+    new_state = state.apply_gradients(grads=grads)
+    if new_stats is not None:
+        new_state = new_state.replace(batch_stats=new_stats)
+    if state.ema_params is not None:
+        # EMA warmup (TF-style): effective decay min(d, (1+t)/(10+t)).
+        # A flat d=0.999 leaves 0.999^t of the RANDOM INIT in the
+        # average — 81% after a 208-step run — which silently zeroed
+        # short-schedule --use_ema evals (round-2 debugging: mAP 0.0 on
+        # every run under ~1k steps).  With warmup the early EMA tracks
+        # the raw params and converges to d as t grows.
+        d = cfg.train.ema_decay
+        t = new_state.step.astype(jnp.float32)
+        d_t = jnp.minimum(d, (1.0 + t) / (10.0 + t))
+        new_state = new_state.replace(ema_params=jax.tree.map(
+            lambda e, p: e * d_t + p * (1.0 - d_t),
+            state.ema_params, new_state.params))
+    metrics["grad_norm"] = optax.global_norm(grads)
+    return new_state, metrics
+
+
 def make_train_step(model: KGNet, cfg: Config, mesh=None) -> Callable:
     """Build the jitted train step.
 
@@ -201,27 +228,7 @@ def make_train_step(model: KGNet, cfg: Config, mesh=None) -> Callable:
     """
 
     def step(state: TrainState, batch: dict, rng: jax.Array):
-        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
-        (_, (metrics, new_stats)), grads = grad_fn(
-            state.params, batch, rng, model, cfg, state.batch_stats)
-        new_state = state.apply_gradients(grads=grads)
-        if new_stats is not None:
-            new_state = new_state.replace(batch_stats=new_stats)
-        if state.ema_params is not None:
-            # EMA warmup (TF-style): effective decay min(d, (1+t)/(10+t)).
-            # A flat d=0.999 leaves 0.999^t of the RANDOM INIT in the
-            # average — 81% after a 208-step run — which silently zeroed
-            # short-schedule --use_ema evals (round-2 debugging: mAP 0.0 on
-            # every run under ~1k steps).  With warmup the early EMA tracks
-            # the raw params and converges to d as t grows.
-            d = cfg.train.ema_decay
-            t = new_state.step.astype(jnp.float32)
-            d_t = jnp.minimum(d, (1.0 + t) / (10.0 + t))
-            new_state = new_state.replace(ema_params=jax.tree.map(
-                lambda e, p: e * d_t + p * (1.0 - d_t),
-                state.ema_params, new_state.params))
-        metrics["grad_norm"] = optax.global_norm(grads)
-        return new_state, metrics
+        return _train_step_body(state, batch, rng, model, cfg)
 
     if mesh is None:
         return jax.jit(step, donate_argnums=(0,))
@@ -231,6 +238,51 @@ def make_train_step(model: KGNet, cfg: Config, mesh=None) -> Callable:
     return jax.jit(
         step,
         in_shardings=(repl, bsh, repl),
+        out_shardings=(repl, repl),
+        donate_argnums=(0,),
+    )
+
+
+def make_train_multi_step(model: KGNet, cfg: Config, n_steps: int,
+                          mesh=None) -> Callable:
+    """`n_steps` optimization steps inside ONE jitted dispatch.
+
+    The remote-TPU tunnel charges ~24 ms of host dispatch per jitted call
+    (benchmarks/common.py), so wall-clock training through it is
+    dispatch-bound, not device-bound.  Scanning the step body over k
+    device-resident batches amortizes that constant (and the per-call
+    transfer latency) k-fold while computing the *same* update sequence:
+    per-step RNG keys are `fold_in(rng, offsets[i])` with the offsets the
+    host loop would have used, so `k` scanned steps match `k` single-step
+    dispatches (equality-tested in tests/test_train.py).
+
+    Call as `fn(state, batches, rng, offsets)` where every leaf of
+    `batches` is stacked on a leading [n_steps] axis and `offsets` is an
+    int32 [n_steps] vector of host step indices.  Returns
+    `(state, metrics)` with each metric stacked [n_steps].
+
+    Memory: the k batches live in HBM simultaneously — batches carry raw
+    uint8 pixels + geometry only (targets render on device, DESIGN rule 4),
+    so k=8 at batch 8×512² is ~60 MB.
+    """
+
+    def multi(state: TrainState, batches: dict, rng: jax.Array,
+              offsets: jnp.ndarray):
+        def body(st, xs):
+            batch, off = xs
+            return _train_step_body(st, batch, jax.random.fold_in(rng, off),
+                                    model, cfg)
+        return jax.lax.scan(body, state, (batches, offsets), length=n_steps)
+
+    if mesh is None:
+        return jax.jit(multi, donate_argnums=(0,))
+
+    repl = replicated(mesh)
+    # leading steps axis unsharded, per-step batch axis over the chips
+    bsh = stacked_batch_sharding(mesh)
+    return jax.jit(
+        multi,
+        in_shardings=(repl, bsh, repl, repl),
         out_shardings=(repl, repl),
         donate_argnums=(0,),
     )

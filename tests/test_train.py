@@ -201,3 +201,75 @@ def test_resume_matches_uninterrupted_training(tmp_path):
             np.testing.assert_array_equal(np.asarray(x), np.asarray(y),
                                           err_msg=name)
     assert int(straight.step) == int(resumed.step)
+
+
+def test_multi_step_dispatch_matches_single_steps():
+    """k steps scanned in ONE dispatch (make_train_multi_step) compute the
+    same update sequence as k single-step dispatches: same per-step RNG keys
+    (fold_in of the same offsets), same final params/EMA/opt-state, same
+    per-step losses."""
+    k = 3
+    cfg, model, state, _, rng = _setup()
+    cfg = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, ema_decay=0.9))
+    state = train_lib.create_train_state(cfg, jax.random.PRNGKey(0))
+    ds = build_dataset(cfg.data)
+    nprng = np.random.default_rng(0)
+    batches = [make_batch(ds, [2 * j, 2 * j + 1], cfg.data, augment=False,
+                          rng=nprng) for j in range(k)]
+
+    step = train_lib.make_train_step(model, cfg)
+    s_ref = state
+    losses_ref = []
+    for j, b in enumerate(batches):
+        s_ref, m = step(s_ref, b, jax.random.fold_in(rng, 7 + j))
+        losses_ref.append(float(m["loss"]))
+
+    multi = train_lib.make_train_multi_step(model, cfg, k)
+    state2 = train_lib.create_train_state(cfg, jax.random.PRNGKey(0))
+    stacked = {key: np.stack([b[key] for b in batches])
+               for key in batches[0]}
+    offs = np.arange(7, 7 + k, dtype=np.int32)
+    s_multi, ms = multi(state2, stacked, rng, offs)
+
+    np.testing.assert_allclose(np.asarray(ms["loss"]), losses_ref, rtol=1e-5)
+    assert int(s_multi.step) == int(s_ref.step) == k
+    for a, b in zip(jax.tree.leaves(s_ref.params),
+                    jax.tree.leaves(s_multi.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+    for a, b in zip(jax.tree.leaves(s_ref.ema_params),
+                    jax.tree.leaves(s_multi.ema_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_multi_step_dispatch_sharded():
+    """The multi-step dispatch under the 8-device mesh: compiles, runs, and
+    matches the unsharded multi-step numerics."""
+    k = 2
+    cfg, model, _, _, rng = _setup()
+    ds = build_dataset(cfg.data)
+    nprng = np.random.default_rng(0)
+    batches = [make_batch(ds, list(range(8 * j, 8 * j + 8)), cfg.data,
+                          augment=False, rng=nprng) for j in range(k)]
+    stacked = {key: np.stack([b[key] for b in batches])
+               for key in batches[0]}
+    offs = np.arange(k, dtype=np.int32)
+
+    state1 = train_lib.create_train_state(cfg, jax.random.PRNGKey(0))
+    multi1 = train_lib.make_train_multi_step(model, cfg, k)
+    s1, m1 = multi1(state1, stacked, rng, offs)
+
+    mesh = make_mesh()
+    state8 = jax.device_put(
+        train_lib.create_train_state(cfg, jax.random.PRNGKey(0)),
+        jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec()))
+    multi8 = train_lib.make_train_multi_step(model, cfg, k, mesh=mesh)
+    s8, m8 = multi8(state8, stacked, rng, offs)
+
+    np.testing.assert_allclose(np.asarray(m1["loss"]), np.asarray(m8["loss"]),
+                               rtol=2e-4)
+    a = jax.tree.leaves(s1.params)[0]
+    b = jax.tree.leaves(s8.params)[0]
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)

@@ -80,6 +80,12 @@ def main() -> None:
     mesh = make_mesh(n_dev) if n_dev > 1 else None
     model = KGNet(cfg=cfg.model)
     step_fn = train_lib.make_train_step(model, cfg, mesh=mesh)
+    k_dispatch = max(tcfg.steps_per_dispatch, 1)
+    multi_fn = (train_lib.make_train_multi_step(model, cfg, k_dispatch,
+                                                mesh=mesh)
+                if k_dispatch > 1 else None)
+    if k_dispatch > 1:
+        log.info("multi-step dispatch: %d steps per jitted call", k_dispatch)
     if mesh is not None:
         state = jax.device_put(state, replicated(mesh))
         log.info("data-parallel over %d devices", n_dev)
@@ -189,22 +195,46 @@ def main() -> None:
                 "val_AP_coco": round(rc["AP_coco"], 4),
                 "val_AP50": round(rc["AP50"], 4)}
 
+    import itertools
+
     for epoch in range(start_epoch, tcfg.num_epochs):
         it = batch_iterator(ds, cfg.data, tcfg.batch_size, augment=True,
                             seed=tcfg.seed + epoch, steps=steps_per_epoch)
         t0, seen = time.time(), 0
         if profile_dir and epoch == start_epoch:
             jax.profiler.start_trace(profile_dir)
-        for i, batch in enumerate(it):
-            if mesh is not None:
-                batch = shard_batch(batch, mesh)
-            state, metrics = step_fn(
-                state, batch, jax.random.fold_in(rng, epoch * 100_000 + i))
-            seen += tcfg.batch_size
-            if i % 20 == 0:
+        i = 0
+        while i < steps_per_epoch:
+            group = list(itertools.islice(it, k_dispatch))
+            if not group:
+                break
+            if multi_fn is not None and len(group) == k_dispatch:
+                # k steps in ONE dispatch: stack batches on a leading steps
+                # axis, scan on device.  Same update sequence as the
+                # single-step path (per-step keys fold the same offsets).
+                stacked = {key: np.stack([g[key] for g in group])
+                           for key in group[0]}
+                offs = (np.arange(i, i + k_dispatch, dtype=np.int32)
+                        + epoch * 100_000)
+                state, ms = multi_fn(state, stacked, rng, offs)
+                metrics = jax.tree.map(lambda a: a[-1], ms)
+                log_now = (i // k_dispatch) % max(20 // k_dispatch, 1) == 0
+                i += k_dispatch
+            else:
+                # k==1, or the epoch tail that doesn't fill a dispatch group
+                for batch in group:
+                    if mesh is not None:
+                        batch = shard_batch(batch, mesh)
+                    state, metrics = step_fn(
+                        state, batch,
+                        jax.random.fold_in(rng, epoch * 100_000 + i))
+                    i += 1
+                log_now = (i - len(group)) % 20 == 0 or k_dispatch > 1
+            seen += tcfg.batch_size * len(group)
+            if log_now:
                 m = {k: round(float(v), 4) for k, v in metrics.items()}
                 log.info("epoch %d step %d/%d %s (%.1f img/s)",
-                         epoch, i, steps_per_epoch, m,
+                         epoch, i - 1, steps_per_epoch, m,
                          seen / max(time.time() - t0, 1e-6))
         if profile_dir and epoch == start_epoch:
             jax.profiler.stop_trace()
