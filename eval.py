@@ -63,13 +63,17 @@ def main() -> None:
             scores[k] = s
         recs.append({"pred_label": pred, "scores": scores, "gt_label": gt})
 
-    if args.protocol == "dsb2018":
-        res = evaluate.evaluate_dsb2018(recs)
-        print(json.dumps({"mAP_dsb2018": res["mAP_dsb2018"],
-                          "num_images": len(recs)}))
-    else:
-        res = evaluate.evaluate_coco(recs)
-        print(json.dumps({**res, "num_images": len(recs)}))
+    out = {}
+    if args.protocol in ("dsb2018", "all"):
+        out["mAP_dsb2018"] = evaluate.evaluate_dsb2018(recs)["mAP_dsb2018"]
+    if args.protocol in ("coco", "all"):
+        out.update(evaluate.evaluate_coco(recs))
+    if args.protocol in ("aji", "all"):
+        out["AJI"] = evaluate.evaluate_aji(recs)["AJI"]
+    if args.protocol in ("pq", "all"):
+        out.update({k: v for k, v in evaluate.evaluate_pq(recs).items()
+                    if k in ("PQ", "SQ", "RQ")})
+    print(json.dumps({**out, "num_images": len(recs)}))
 
 
 if __name__ == "__main__":

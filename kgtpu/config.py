@@ -461,7 +461,8 @@ def build_eval_parser() -> argparse.ArgumentParser:
     p.add_argument("--pred_dir", default="results")
     p.add_argument("--gt_dir", default="")
     p.add_argument("--dataset", default="dsb2018")
-    p.add_argument("--protocol", default="dsb2018", choices=["dsb2018", "coco"])
+    p.add_argument("--protocol", default="dsb2018",
+                   choices=["dsb2018", "coco", "aji", "pq", "all"])
     return p
 
 

@@ -1,13 +1,24 @@
 """Host-side mask AP evaluation.  [SURVEY.md C17; OPEN-5 resolution]
 
-Two protocols:
+Four protocols:
   * "dsb2018" — the Kaggle Data Science Bowl 2018 metric: per image and IoU
     threshold t ∈ {0.50, 0.55, …, 0.95}, precision = TP/(TP+FP+FN) with
     greedy IoU matching; mean over thresholds, then over images.
   * "coco"    — dataset-level AP: score-ranked PR curve per threshold with
     101-point interpolation, averaged over the same thresholds.
+  * "aji"     — Aggregated Jaccard Index (Kumar et al., IEEE TMI 2017), the
+    standard nuclei-segmentation metric: per image, every GT instance pairs
+    with its best-IoU prediction; AJI = Σ intersections / (Σ pair unions +
+    areas of unmatched GTs and predictions).  Mean over images.
+  * "pq"      — Panoptic Quality (Kirillov et al., CVPR 2019) for the single
+    cell class: matches are IoU>0.5 pairs (provably unique); PQ = SQ·RQ with
+    SQ = mean matched IoU and RQ = TP/(TP + FP/2 + FN/2), aggregated over
+    the dataset.
 
-Pure NumPy, not in the hot path (SURVEY.md §3.5 stays host-side).
+The reference evaluates AP only; AJI/PQ are the cell-segmentation
+community's other standard reporting axes and share the same per-image
+record format.  Pure NumPy, not in the hot path (SURVEY.md §3.5 stays
+host-side).
 """
 
 from __future__ import annotations
@@ -145,3 +156,92 @@ def evaluate_coco(per_image: list[dict]) -> dict:
         aps.append(float(ap))
     return {"AP_coco": float(np.mean(aps)),
             "AP50": aps[0], "AP75": aps[5]}
+
+
+def _pair_stats(pred: np.ndarray, gt: np.ndarray
+                ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(inter [P,G], pred areas [P], gt areas [G]) in pixel counts, rows/cols
+    over the *present* instance ids of each map in ascending order.
+
+    One bincount over joint (pred, gt) codes — a single pass over the image,
+    no per-instance mask expansion."""
+    pred_ids = np.unique(pred)
+    pred_ids = pred_ids[pred_ids > 0]
+    gt_ids = np.unique(gt)
+    gt_ids = gt_ids[gt_ids > 0]
+    P, G = len(pred_ids), len(gt_ids)
+    pmap = np.zeros(int(pred.max()) + 1 if P else 1, np.int64)
+    pmap[pred_ids] = np.arange(1, P + 1)
+    gmap = np.zeros(int(gt.max()) + 1 if G else 1, np.int64)
+    gmap[gt_ids] = np.arange(1, G + 1)
+    pc = pmap[pred.reshape(-1)]
+    gc = gmap[gt.reshape(-1)]
+    cnt = np.bincount(pc * (G + 1) + gc,
+                      minlength=(P + 1) * (G + 1)).reshape(P + 1, G + 1)
+    inter = cnt[1:, 1:].astype(np.float64)
+    return inter, cnt[1:, :].sum(1).astype(np.float64), \
+        cnt[:, 1:].sum(0).astype(np.float64)
+
+
+def aji_image(pred: np.ndarray, gt: np.ndarray) -> float:
+    """Aggregated Jaccard Index for one image (Kumar et al. 2017, in the
+    canonical formulation the nuclei-segmentation literature implements):
+    each GT instance pairs with the prediction maximizing IoU against it;
+    C accumulates pair intersections and U pair unions; GTs with no
+    overlapping prediction and predictions never chosen as any GT's best
+    add their full areas to U.  AJI = C / U."""
+    inter, p_area, g_area = _pair_stats(pred, gt)
+    P, G = inter.shape
+    if G == 0:
+        # no GT: perfect iff nothing was predicted
+        return 1.0 if P == 0 else 0.0
+    if P == 0:
+        return 0.0
+    union = p_area[:, None] + g_area[None, :] - inter
+    iou = inter / np.maximum(union, 1e-9)
+    best = iou.argmax(0)                                   # [G] best pred
+    overlapped = iou.max(0) > 0
+    c = inter[best[overlapped], np.nonzero(overlapped)[0]].sum()
+    u = union[best[overlapped], np.nonzero(overlapped)[0]].sum()
+    u += g_area[~overlapped].sum()
+    unused = np.ones(P, bool)
+    unused[best[overlapped]] = False
+    u += p_area[unused].sum()
+    return float(c / max(u, 1e-9))
+
+
+def evaluate_aji(per_image: list[dict]) -> dict:
+    """Mean per-image AJI over records of the evaluate_dsb2018 format
+    (scores are ignored — AJI is rank-free)."""
+    vals = [aji_image(rec["pred_label"], rec["gt_label"])
+            for rec in per_image]
+    return {"AJI": float(np.mean(vals)) if vals else 0.0, "per_image": vals}
+
+
+def evaluate_pq(per_image: list[dict], iou_thresh: float = 0.5) -> dict:
+    """Single-class Panoptic Quality, aggregated over the dataset.
+
+    Matches are (pred, gt) pairs with IoU > iou_thresh; at the standard 0.5
+    they are unique without any assignment step (two masks can't both
+    overlap one GT by >50%).  PQ = SQ·RQ; SQ = mean matched IoU;
+    RQ = TP / (TP + FP/2 + FN/2)."""
+    if iou_thresh < 0.5:
+        raise ValueError("PQ requires iou_thresh >= 0.5 (match uniqueness)")
+    tp = fp = fn = 0
+    iou_sum = 0.0
+    for rec in per_image:
+        inter, p_area, g_area = _pair_stats(rec["pred_label"],
+                                            rec["gt_label"])
+        union = p_area[:, None] + g_area[None, :] - inter
+        iou = inter / np.maximum(union, 1e-9)
+        matched = iou > iou_thresh
+        m = int(matched.sum())
+        tp += m
+        fp += inter.shape[0] - int(matched.any(1).sum())
+        fn += inter.shape[1] - int(matched.any(0).sum())
+        iou_sum += float(iou[matched].sum())
+    sq = iou_sum / tp if tp else 0.0
+    denom = tp + 0.5 * fp + 0.5 * fn
+    rq = tp / denom if denom else (1.0 if fp == fn == 0 else 0.0)
+    return {"PQ": sq * rq, "SQ": sq, "RQ": rq,
+            "TP": tp, "FP": fp, "FN": fn}
