@@ -20,4 +20,7 @@ def build_dataset(cfg: DataConfig, split: str = "train"):
     if cfg.dataset == "neural_cells":
         from kgtpu.data.neural_cells import NeuralCells
         return NeuralCells(cfg.data_dir, split=split)
+    if cfg.dataset == "coco":
+        from kgtpu.data.coco import CocoDataset
+        return CocoDataset(cfg.data_dir, split=split)
     raise ValueError(f"unknown dataset: {cfg.dataset}")

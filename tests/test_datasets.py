@@ -109,3 +109,158 @@ def test_neural_cells_dsb_style_masks(tmp_path):
     ds = NeuralCells(root, split="train", val_fraction=0.0)
     s = ds[0]
     assert (s["label_map"] > 0).sum() == 64
+
+
+# ---------------------------------------------------------------------------
+# COCO-format reader
+# ---------------------------------------------------------------------------
+
+def _rle_string_from_counts(counts):
+    """Test-side encoder replica of the pycocotools counts codec — the
+    reader's decoder is validated by round-trip against this."""
+    out = []
+    for i, x in enumerate(counts):
+        if i > 2:
+            x = x - counts[i - 2]
+        more = True
+        while more:
+            c = x & 0x1F
+            x >>= 5
+            more = not (x == 0 and not (c & 0x10)) and \
+                   not (x == -1 and (c & 0x10))
+            if more:
+                c |= 0x20
+            out.append(chr(c + 48))
+    return "".join(out)
+
+
+def _counts_from_mask(mask):
+    """Column-major alternating runs, background first."""
+    flat = mask.reshape(-1, order="F").astype(np.int32)
+    changes = np.flatnonzero(np.diff(flat)) + 1
+    bounds = np.concatenate([[0], changes, [flat.size]])
+    runs = np.diff(bounds).tolist()
+    if flat[0] == 1:
+        runs = [0] + runs
+    return runs
+
+
+def _write_coco(root, *, per_split=False):
+    os.makedirs(os.path.join(root, "images"), exist_ok=True)
+    rng = np.random.default_rng(3)
+    h, w = 40, 32
+    images, annotations = [], []
+    masks_by_image = {}
+    for i in range(6):
+        fname = f"cell_{i:03d}.png"
+        img = rng.integers(0, 255, size=(h, w, 3)).astype(np.uint8)
+        cv2.imwrite(os.path.join(root, "images", fname), img)
+        images.append({"id": 100 + i, "file_name": fname,
+                       "height": h, "width": w})
+        # instance 1: polygon rectangle; instance 2: RLE blob
+        poly_box = [4.0, 4.0, 14.0, 4.0, 14.0, 12.0, 4.0, 12.0]
+        m2 = np.zeros((h, w), bool)
+        m2[20 + i % 3: 30 + i % 3, 8:20] = True
+        counts = _counts_from_mask(m2)
+        rle = ({"size": [h, w], "counts": _rle_string_from_counts(counts)}
+               if i % 2 == 0 else {"size": [h, w], "counts": counts})
+        annotations += [
+            {"id": 2 * i, "image_id": 100 + i, "iscrowd": 0,
+             "segmentation": [poly_box], "category_id": 1},
+            {"id": 2 * i + 1, "image_id": 100 + i, "iscrowd": 0,
+             "segmentation": rle, "category_id": 1},
+            # crowd region must be ignored
+            {"id": 1000 + i, "image_id": 100 + i, "iscrowd": 1,
+             "segmentation": {"size": [h, w],
+                              "counts": [0, h * w]}, "category_id": 1},
+        ]
+        masks_by_image[os.path.splitext(fname)[0]] = m2
+    doc = {"images": images, "annotations": annotations,
+           "categories": [{"id": 1, "name": "cell"}]}
+    import json
+    if per_split:
+        os.makedirs(os.path.join(root, "annotations"), exist_ok=True)
+        for split in ("train", "val"):
+            with open(os.path.join(root, "annotations",
+                                   f"instances_{split}.json"), "w") as f:
+                json.dump(doc, f)
+    else:
+        with open(os.path.join(root, "annotations.json"), "w") as f:
+            json.dump(doc, f)
+    return masks_by_image
+
+
+def test_coco_reader_polygon_and_rle(tmp_path):
+    from kgtpu.data.coco import CocoDataset
+    root = str(tmp_path)
+    rle_masks = _write_coco(root)
+    ds = CocoDataset(root, split="train")
+    assert len(ds) > 0
+    seen_rle = 0
+    for i in range(len(ds)):
+        s = ds[i]
+        assert s["image"].shape == (40, 32, 3)
+        lab = s["label_map"]
+        ids = sorted(np.unique(lab))
+        assert ids[0] == 0 and len(ids) == 3     # bg + 2 instances, no crowd
+        # the RLE instance must reproduce its mask exactly (codec round-trip)
+        m2 = rle_masks[s["id"]]
+        match = [np.array_equal(lab == k, m2) for k in ids[1:]]
+        assert any(match), f"RLE mask not recovered for {s['id']}"
+        seen_rle += 1
+        # the polygon instance covers the rectangle interior
+        poly_lab = lab[6:11, 6:13]
+        assert (poly_lab > 0).all() and len(np.unique(poly_lab)) == 1
+    assert seen_rle == len(ds)
+
+
+def test_coco_rle_string_codec_roundtrip():
+    from kgtpu.data.coco import mask_from_rle, rle_counts_from_string
+    rng = np.random.default_rng(0)
+    for _ in range(20):
+        m = rng.random((13, 17)) > 0.6
+        counts = _counts_from_mask(m)
+        s = _rle_string_from_counts(counts)
+        dec = rle_counts_from_string(s)
+        assert dec == counts, (dec, counts)
+        np.testing.assert_array_equal(mask_from_rle(dec, 13, 17), m)
+
+
+def test_coco_split_disjoint_and_test_guard(tmp_path):
+    from kgtpu.data.coco import CocoDataset
+    root = str(tmp_path)
+    _write_coco(root)
+    tr = CocoDataset(root, split="train", val_fraction=0.4)
+    va = CocoDataset(root, split="val", val_fraction=0.4)
+    assert set(tr.ids).isdisjoint(va.ids)
+    assert len(tr) + len(va) == 6
+    with pytest.warns(UserWarning, match="leakage"):
+        te = CocoDataset(root, split="test", val_fraction=0.4)
+    assert te.ids == va.ids
+
+
+def test_coco_per_split_annotation_files(tmp_path):
+    from kgtpu.data.coco import CocoDataset
+    root = str(tmp_path)
+    _write_coco(root, per_split=True)
+    tr = CocoDataset(root, split="train")
+    assert len(tr) == 6                 # explicit file: no hash split
+    te = CocoDataset(root, split="test")   # falls back to instances_val
+    assert len(te) == 6
+
+
+def test_coco_registry_and_batching(tmp_path):
+    """The reader must flow through build_dataset + the fixed-shape batcher."""
+    import dataclasses
+
+    from kgtpu.config import Config
+    from kgtpu.data import build_dataset, make_batch
+    root = str(tmp_path)
+    _write_coco(root)
+    dcfg = dataclasses.replace(Config().data, dataset="coco", data_dir=root,
+                               input_size=64, max_instances=8)
+    ds = build_dataset(dcfg, split="train")
+    b = make_batch(ds, [0], dcfg, augment=False,
+                   rng=np.random.default_rng(0))
+    assert b["image"].shape == (1, 64, 64, 3)
+    assert b["valid"].sum() == 2
