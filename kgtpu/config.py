@@ -410,6 +410,13 @@ def build_train_parser() -> argparse.ArgumentParser:
                    help="train steps scanned inside one jitted dispatch "
                         "(same update sequence; amortizes per-dispatch host "
                         "latency — use 8-32 on high-RTT links)")
+    # multi-host (multi-controller) data parallelism: run the same command
+    # on every host with a shared --coordinator and distinct --host_id
+    p.add_argument("--coordinator", default="",
+                   help="host:port of host 0 — enables multi-host DP via "
+                        "jax.distributed (batch_size stays GLOBAL)")
+    p.add_argument("--num_hosts", type=int, default=1)
+    p.add_argument("--host_id", type=int, default=0)
     p.add_argument("--profile_dir", default="",
                    help="if set, jax.profiler traces train steps here")
     return p

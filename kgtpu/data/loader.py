@@ -59,8 +59,17 @@ def _prepare_sample(sample: dict, cfg: DataConfig, augment: bool,
 
 
 def make_batch(dataset, indices, cfg: DataConfig, augment: bool,
-               rng: np.random.Generator) -> Batch:
-    samples = [_prepare_sample(dataset[i], cfg, augment, rng) for i in indices]
+               rng: np.random.Generator | None = None,
+               rngs: list[np.random.Generator] | None = None) -> Batch:
+    """Either one shared `rng` (sequential per-sample draws) or one
+    generator per sample via `rngs` (the iterator's mode — makes each
+    sample's augmentation a function of its global position alone, so
+    multi-host workers materializing disjoint rows agree with the
+    single-host stream)."""
+    if rngs is None:
+        rngs = [rng] * len(indices)
+    samples = [_prepare_sample(dataset[i], cfg, augment, r)
+               for i, r in zip(indices, rngs)]
     return {
         k: np.stack([s[k] for s in samples]) for k in
         ("image", "img_gain", "img_bias", "boxes", "valid", "label_map")
@@ -70,12 +79,20 @@ def make_batch(dataset, indices, cfg: DataConfig, augment: bool,
 def batch_iterator(dataset, cfg: DataConfig, batch_size: int, *,
                    augment: bool = True, shuffle: bool = True, seed: int = 0,
                    steps: int | None = None, prefetch: int = 8,
-                   num_workers: int = 4) -> Iterator[Batch]:
+                   num_workers: int = 4, process_id: int = 0,
+                   num_processes: int = 1) -> Iterator[Batch]:
     """Infinite (or `steps`-bounded) iterator of fixed-shape batches.
 
     cv2/NumPy work runs on a thread pool (cv2 releases the GIL), with
-    in-order emission and *per-batch* RNG derived from (seed, batch index) —
-    results are deterministic regardless of worker count or scheduling.
+    in-order emission and per-sample RNG derived from (seed, batch index,
+    position in the global batch) — results are deterministic regardless of
+    worker count or scheduling.
+
+    Multi-host: `batch_size` stays the GLOBAL batch; with
+    (process_id, num_processes) set, every host walks the same index
+    permutation but materializes only its batch_size/num_processes rows,
+    and the per-sample RNG keys on the global position — the concatenation
+    of all hosts' batches equals the single-host batch exactly.
     """
     rng = np.random.default_rng(seed)
     n = len(dataset)
@@ -83,6 +100,11 @@ def batch_iterator(dataset, cfg: DataConfig, batch_size: int, *,
         raise ValueError(
             f"dataset has {n} samples < batch_size {batch_size}; "
             "the iterator would produce no batches")
+    if batch_size % num_processes:
+        raise ValueError(f"batch_size {batch_size} must divide by "
+                         f"num_processes {num_processes}")
+    local_bs = batch_size // num_processes
+    lo = process_id * local_bs
 
     def index_stream():
         while True:
@@ -93,8 +115,10 @@ def batch_iterator(dataset, cfg: DataConfig, batch_size: int, *,
     stream = index_stream()
 
     def build(batch_idx: int, indices) -> Batch:
-        brng = np.random.default_rng((seed + 1) * 1_000_003 + batch_idx)
-        return make_batch(dataset, indices, cfg, augment, brng)
+        base = ((seed + 1) * 1_000_003 + batch_idx) * 8191
+        rngs = [np.random.default_rng(base + lo + j) for j in range(local_bs)]
+        return make_batch(dataset, indices[lo:lo + local_bs], cfg, augment,
+                          rngs=rngs)
 
     ex = concurrent.futures.ThreadPoolExecutor(max_workers=num_workers)
     pending: collections.deque = collections.deque()

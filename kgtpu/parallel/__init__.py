@@ -8,6 +8,7 @@ A second optional "space" axis is reserved for spatial tiling of whole-slide
 inference (BASELINE config 5).
 """
 
+from kgtpu.parallel import multihost
 from kgtpu.parallel.mesh import (
     batch_sharding,
     make_mesh,
@@ -17,4 +18,4 @@ from kgtpu.parallel.mesh import (
 )
 
 __all__ = ["make_mesh", "batch_sharding", "replicated", "shard_batch",
-           "stacked_batch_sharding"]
+           "stacked_batch_sharding", "multihost"]

@@ -1,0 +1,61 @@
+"""Multi-host (multi-controller) data parallelism.  [extends SURVEY.md §2.10]
+
+The reference has no distributed machinery at all; the rebuild's single-host
+design is jit-with-shardings over a device mesh (mesh.py).  This module
+extends the SAME design across hosts: every host runs the same SPMD program
+over the global mesh, each host feeds only its local shard of the batch, and
+XLA emits the cross-host collectives (gradient all-reduce over ICI/DCN on
+TPU pods; Gloo on the CPU backend, which is how tests exercise two real
+processes on one machine).
+
+Usage contract (train.py wires this):
+  * call `initialize(coordinator, num_hosts, host_id)` before any other JAX
+    use on every host;
+  * every host iterates the SAME global index stream and materializes only
+    its rows (`batch_iterator(..., process_id, num_processes)`), then wraps
+    them into one global array per leaf (`global_batch`);
+  * checkpoint saves are called on ALL hosts (orbax coordinates and writes
+    once — requires a shared filesystem); log/metric files are written by
+    the main host only (`is_main()`).
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+
+from kgtpu.parallel.mesh import batch_sharding, stacked_batch_sharding
+
+
+def initialize(coordinator: str, num_hosts: int, host_id: int) -> None:
+    """`jax.distributed.initialize` with explicit topology.
+
+    On TPU pod slices the arguments can be omitted entirely (the runtime
+    auto-detects); explicit values are what CPU/Gloo and manual clusters
+    need.  Must run before any device query on every host."""
+    jax.distributed.initialize(coordinator_address=coordinator,
+                               num_processes=num_hosts, process_id=host_id)
+
+
+def is_main() -> bool:
+    return jax.process_index() == 0
+
+
+def global_batch(batch: dict, mesh, *, stacked: bool = False) -> dict:
+    """Per-host local batch shards → one global jax.Array per leaf.
+
+    With `stacked` the leaves carry a leading steps axis ([k, local_B, ...],
+    multi-step dispatch) and the batch axis is axis 1; otherwise axis 0.
+    Every host must pass shards of identical shape (the fixed-shape batch
+    discipline guarantees it)."""
+    nproc = jax.process_count()
+    axis = 1 if stacked else 0
+    sh = stacked_batch_sharding(mesh) if stacked else batch_sharding(mesh)
+
+    def to_global(x):
+        x = np.asarray(x)
+        gshape = list(x.shape)
+        gshape[axis] *= nproc
+        return jax.make_array_from_process_local_data(sh, x, tuple(gshape))
+
+    return {k: to_global(v) for k, v in batch.items()}

@@ -29,6 +29,11 @@ def main() -> None:
     if os.environ.get("KGTPU_PLATFORM"):
         jax.config.update("jax_platforms", os.environ["KGTPU_PLATFORM"])
 
+    # multi-host DP: same command on every host, before any device query
+    if getattr(args, "coordinator", ""):
+        from kgtpu.parallel import multihost
+        multihost.initialize(args.coordinator, args.num_hosts, args.host_id)
+
     if getattr(args, "debug_nans", False):
         from kgtpu.utils import enable_nan_debugging
         enable_nan_debugging()
@@ -40,7 +45,10 @@ def main() -> None:
     from kgtpu import checkpoint, train_lib
     from kgtpu.data import batch_iterator, build_dataset
     from kgtpu.models import KGNet, required_divisor
-    from kgtpu.parallel import make_mesh, replicated, shard_batch
+    from kgtpu.parallel import make_mesh, multihost, replicated, shard_batch
+
+    n_proc = jax.process_count()
+    is_main = jax.process_index() == 0
 
     divisor = required_divisor(cfg.model)
     if cfg.data.input_size % divisor:
@@ -77,6 +85,9 @@ def main() -> None:
         log.info("resumed from %s at epoch %d", src, start_epoch)
 
     n_dev = tcfg.num_devices or jax.device_count()
+    if n_proc > 1 and tcfg.batch_size % n_proc:
+        raise SystemExit(f"--batch_size {tcfg.batch_size} (global) must "
+                         f"divide by the {n_proc} hosts")
     mesh = make_mesh(n_dev) if n_dev > 1 else None
     model = KGNet(cfg=cfg.model)
     step_fn = train_lib.make_train_step(model, cfg, mesh=mesh)
@@ -87,8 +98,13 @@ def main() -> None:
     if k_dispatch > 1:
         log.info("multi-step dispatch: %d steps per jitted call", k_dispatch)
     if mesh is not None:
-        state = jax.device_put(state, replicated(mesh))
-        log.info("data-parallel over %d devices", n_dev)
+        if n_proc == 1:
+            state = jax.device_put(state, replicated(mesh))
+        # multi-host: the state stays host-side until the first step; jit's
+        # replicated in_sharding commits it globally (every host constructs
+        # the identical value from the same seed / the same checkpoint)
+        log.info("data-parallel over %d devices on %d host(s)", n_dev,
+                 n_proc)
 
     profile_dir = getattr(args, "profile_dir", "")
     metrics_path = os.path.join(tcfg.save_dir, "metrics.jsonl")
@@ -103,6 +119,11 @@ def main() -> None:
                                   reexec, restart_argv)
     rss_limit = (default_rss_limit_gb() if tcfg.rss_limit_gb < 0
                  else tcfg.rss_limit_gb)
+    if n_proc > 1 and rss_limit:
+        # a single-host re-exec would desync the cluster; recovery on pods
+        # is restart-all + --resume (SURVEY §5 semantics)
+        log.info("multi-host run: RSS watchdog disabled")
+        rss_limit = 0
     if rss_limit:
         log.info("host-RSS watchdog armed at %.1f GB", rss_limit)
 
@@ -199,9 +220,11 @@ def main() -> None:
 
     for epoch in range(start_epoch, tcfg.num_epochs):
         it = batch_iterator(ds, cfg.data, tcfg.batch_size, augment=True,
-                            seed=tcfg.seed + epoch, steps=steps_per_epoch)
+                            seed=tcfg.seed + epoch, steps=steps_per_epoch,
+                            process_id=jax.process_index(),
+                            num_processes=n_proc)
         t0, seen = time.time(), 0
-        if profile_dir and epoch == start_epoch:
+        if profile_dir and epoch == start_epoch and is_main:
             jax.profiler.start_trace(profile_dir)
         i = 0
         while i < steps_per_epoch:
@@ -214,6 +237,9 @@ def main() -> None:
                 # single-step path (per-step keys fold the same offsets).
                 stacked = {key: np.stack([g[key] for g in group])
                            for key in group[0]}
+                if n_proc > 1:
+                    stacked = multihost.global_batch(stacked, mesh,
+                                                     stacked=True)
                 offs = (np.arange(i, i + k_dispatch, dtype=np.int32)
                         + epoch * 100_000)
                 state, ms = multi_fn(state, stacked, rng, offs)
@@ -223,7 +249,9 @@ def main() -> None:
             else:
                 # k==1, or the epoch tail that doesn't fill a dispatch group
                 for batch in group:
-                    if mesh is not None:
+                    if n_proc > 1:
+                        batch = multihost.global_batch(batch, mesh)
+                    elif mesh is not None:
                         batch = shard_batch(batch, mesh)
                     state, metrics = step_fn(
                         state, batch,
@@ -231,12 +259,12 @@ def main() -> None:
                     i += 1
                 log_now = (i - len(group)) % 20 == 0 or k_dispatch > 1
             seen += tcfg.batch_size * len(group)
-            if log_now:
+            if log_now and is_main:
                 m = {k: round(float(v), 4) for k, v in metrics.items()}
                 log.info("epoch %d step %d/%d %s (%.1f img/s)",
                          epoch, i - 1, steps_per_epoch, m,
                          seen / max(time.time() - t0, 1e-6))
-        if profile_dir and epoch == start_epoch:
+        if profile_dir and epoch == start_epoch and is_main:
             jax.profiler.stop_trace()
             log.info("profile written to %s", profile_dir)
         val = {}
@@ -264,16 +292,21 @@ def main() -> None:
                 new_best = False
         else:
             new_best = False
-        # structured per-epoch metrics (SURVEY.md §5 observability)
+        # structured per-epoch metrics (SURVEY.md §5 observability).
+        # File writes are main-host-only (multi-host runs share the FS);
+        # checkpoint.save/wait run on EVERY host — orbax coordinates the
+        # processes and writes once.
         import json
-        with open(metrics_path, "a") as f:
-            f.write(json.dumps({
-                "epoch": epoch,
-                **{k: round(float(v), 6) for k, v in metrics.items()},
-                **val,
-                "img_per_sec": round(seen / max(time.time() - t0, 1e-6), 2),
-                "host_rss_gb": round(host_rss_gb(), 2),
-            }) + "\n")
+        if is_main:
+            with open(metrics_path, "a") as f:
+                f.write(json.dumps({
+                    "epoch": epoch,
+                    **{k: round(float(v), 6) for k, v in metrics.items()},
+                    **val,
+                    "img_per_sec": round(
+                        seen / max(time.time() - t0, 1e-6), 2),
+                    "host_rss_gb": round(host_rss_gb(), 2),
+                }) + "\n")
         saved_this_epoch = (
             (epoch + 1) % tcfg.save_every_epochs == 0
             or epoch == tcfg.num_epochs - 1)
@@ -289,8 +322,10 @@ def main() -> None:
             # `<dir>/best` resolving to a checkpoint that never landed
             checkpoint.wait()
             import json as _json
-            with open(os.path.join(tcfg.save_dir, "best.json"), "w") as f:
-                _json.dump(best_val, f)
+            if is_main:
+                with open(os.path.join(tcfg.save_dir, "best.json"),
+                          "w") as f:
+                    _json.dump(best_val, f)
             log.info("new best val mAP %.4f at epoch %d -> best.json "
                      "(use --weights %s/best)", best_val["metric"], epoch,
                      tcfg.save_dir)
