@@ -104,6 +104,7 @@ class CocoDataset:
         self.data_dir = data_dir
         self.split = split
         ann_path, self._hash_split = self._find_annotations(data_dir, split)
+        self._ann_path = ann_path
         with open(ann_path) as f:
             doc = json.load(f)
         self._images = {im["id"]: im for im in doc.get("images", [])}
@@ -141,22 +142,42 @@ class CocoDataset:
 
     @staticmethod
     def _find_annotations(data_dir: str, split: str) -> tuple[str, bool]:
-        """(json path, whether to hash-split a shared file)."""
+        """(json path, whether to hash-split a shared file).
+
+        A LONE annotation file — annotations.json or a single
+        instances_*.json — hash-splits for train/val regardless of its
+        name, so those two requests are ALWAYS disjoint (otherwise 'val' on
+        a train-only export would return a subset of the very images
+        'train' already served — eval-on-train leak).  split='test' on a
+        lone file declaring itself val/test (instances_val2017.json) gets
+        the whole file: that split is genuinely held out by whoever
+        published it.  Exact per-split resolution applies only when several
+        per-split files exist."""
         ann_dir = os.path.join(data_dir, "annotations")
         if os.path.isdir(ann_dir):
             cands = sorted(os.listdir(ann_dir))
+            jsons = [f for f in cands if f.endswith(".json")]
+            if len(jsons) == 1:
+                lone = jsons[0]
+                declared_holdout = lone.startswith(("instances_val",
+                                                    "instances_test"))
+                if split == "test" and declared_holdout:
+                    return os.path.join(ann_dir, lone), False
+                return os.path.join(ann_dir, lone), True
             # exact per-split file (instances_val.json, instances_val2017.json)
             for f in cands:
                 if f.startswith(f"instances_{split}") and f.endswith(".json"):
                     return os.path.join(ann_dir, f), False
-            # test falls back to val's file if present (common: no test anns)
+            # test falls back to val's file if present (common: no test
+            # annotations are published; val IS held out from train here)
             if split == "test":
                 for f in cands:
                     if f.startswith("instances_val") and f.endswith(".json"):
                         return os.path.join(ann_dir, f), False
-            jsons = [f for f in cands if f.endswith(".json")]
-            if len(jsons) == 1:
-                return os.path.join(ann_dir, jsons[0]), True
+            if jsons:
+                raise FileNotFoundError(
+                    f"{ann_dir} has per-split files {jsons} but none for "
+                    f"split '{split}'")
         single = os.path.join(data_dir, "annotations.json")
         if os.path.isfile(single):
             return single, True
@@ -165,7 +186,12 @@ class CocoDataset:
             f"annotations/instances_{split}*.json and annotations.json)")
 
     def _image_path(self, file_name: str) -> str:
-        for sub in ("", "images", self.split):
+        # the canonical layout keys the image dir to the annotation file's
+        # suffix: annotations/instances_val2017.json <-> val2017/
+        base = os.path.basename(self._ann_path)
+        stem = base[len("instances_"):-len(".json")] \
+            if base.startswith("instances_") and base.endswith(".json") else ""
+        for sub in ("", "images", self.split, stem):
             p = os.path.join(self.data_dir, sub, file_name)
             if os.path.isfile(p):
                 return p

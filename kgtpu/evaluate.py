@@ -62,9 +62,11 @@ def iou_from_label_maps(pred: np.ndarray, gt: np.ndarray
         cols = [i - 1 for i in gt_ids]
         return dense[np.ix_(rows, cols)] if rows and cols else np.zeros(
             (len(rows), len(cols))), pred_ids, gt_ids
-    iou = mask_iou_matrix([pred == i for i in pred_ids],
-                          [gt == i for i in gt_ids])
-    return iou, pred_ids, gt_ids
+    # NumPy fallback: one joint-bincount pass (shared with AJI/PQ) instead
+    # of per-instance mask expansion
+    inter, p_area, g_area = _pair_stats(pred, gt)
+    union = p_area[:, None] + g_area[None, :] - inter
+    return inter / np.maximum(union, 1e-9), pred_ids, gt_ids
 
 
 def _greedy_match(iou: np.ndarray, scores: np.ndarray, t: float) -> int:

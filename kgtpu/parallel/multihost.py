@@ -41,6 +41,28 @@ def is_main() -> bool:
     return jax.process_index() == 0
 
 
+def broadcast_scalar(x: float) -> float:
+    """Main host's value on every host.  Host-control decisions (e.g. 'is
+    this epoch a new validation best?') must be identical everywhere —
+    independently computed floats can straddle a comparison and desync the
+    hosts' collective calls (checkpoint saves)."""
+    if jax.process_count() == 1:
+        return float(x)
+    from jax.experimental import multihost_utils
+    return float(multihost_utils.broadcast_one_to_all(
+        np.asarray(x, np.float32)))
+
+
+def all_hosts_max(x: float) -> float:
+    """Max of a per-host scalar across hosts (e.g. host RSS, so every host
+    reaches the same watchdog decision in lockstep)."""
+    if jax.process_count() == 1:
+        return float(x)
+    from jax.experimental import multihost_utils
+    return float(multihost_utils.process_allgather(
+        np.asarray(x, np.float32)).max())
+
+
 def global_batch(batch: dict, mesh, *, stacked: bool = False) -> dict:
     """Per-host local batch shards → one global jax.Array per leaf.
 

@@ -264,3 +264,52 @@ def test_coco_registry_and_batching(tmp_path):
                    rng=np.random.default_rng(0))
     assert b["image"].shape == (1, 64, 64, 3)
     assert b["valid"].sum() == 2
+
+
+def test_coco_train_only_export_stays_disjoint(tmp_path):
+    """A lone instances_train.json must be hash-split consistently for all
+    splits — otherwise split='val' would return a subset of the images
+    split='train' already served (eval-on-train leak)."""
+    import json
+    import shutil
+
+    from kgtpu.data.coco import CocoDataset
+    root = str(tmp_path)
+    _write_coco(root)
+    os.makedirs(os.path.join(root, "annotations"))
+    shutil.move(os.path.join(root, "annotations.json"),
+                os.path.join(root, "annotations", "instances_train.json"))
+    tr = CocoDataset(root, split="train", val_fraction=0.4)
+    va = CocoDataset(root, split="val", val_fraction=0.4)
+    assert set(tr.ids).isdisjoint(va.ids)
+    assert len(tr) + len(va) == 6
+    # two per-split files but none for the requested split -> explicit error
+    with open(os.path.join(root, "annotations", "instances_val.json"),
+              "w") as f:
+        json.dump({"images": [], "annotations": []}, f)
+    with pytest.raises(FileNotFoundError, match="per-split"):
+        CocoDataset(root, split="test2020")
+
+
+def test_coco_canonical_year_layout(tmp_path):
+    """annotations/instances_val2017.json + val2017/<images> (the canonical
+    COCO release layout) must resolve image paths via the file's suffix."""
+    import shutil
+
+    from kgtpu.data.coco import CocoDataset
+    root = str(tmp_path)
+    _write_coco(root)
+    os.makedirs(os.path.join(root, "annotations"))
+    shutil.move(os.path.join(root, "annotations.json"),
+                os.path.join(root, "annotations", "instances_val2017.json"))
+    shutil.move(os.path.join(root, "images"), os.path.join(root, "val2017"))
+    # a published val file is genuinely held out: split='test' gets it whole
+    ds = CocoDataset(root, split="test")
+    assert len(ds) == 6
+    s = ds[0]
+    assert s["image"].shape == (40, 32, 3)
+    assert s["label_map"].max() == 2
+    # but train/val requests on the same lone file stay disjoint
+    tr = CocoDataset(root, split="train", val_fraction=0.4)
+    va = CocoDataset(root, split="val", val_fraction=0.4)
+    assert set(tr.ids).isdisjoint(va.ids) and len(tr) + len(va) == 6

@@ -88,6 +88,13 @@ def main() -> None:
     if n_proc > 1 and tcfg.batch_size % n_proc:
         raise SystemExit(f"--batch_size {tcfg.batch_size} (global) must "
                          f"divide by the {n_proc} hosts")
+    if n_proc > 1 and n_dev != jax.device_count():
+        # a mesh over a device prefix would exclude some hosts' devices
+        # entirely (their batch shards would have nowhere to land)
+        raise SystemExit(f"--ngpus {tcfg.num_devices} is incompatible with "
+                         f"multi-host: the mesh must span all "
+                         f"{jax.device_count()} global devices (omit the "
+                         "flag or pass 0)")
     mesh = make_mesh(n_dev) if n_dev > 1 else None
     model = KGNet(cfg=cfg.model)
     step_fn = train_lib.make_train_step(model, cfg, mesh=mesh)
@@ -119,13 +126,10 @@ def main() -> None:
                                   reexec, restart_argv)
     rss_limit = (default_rss_limit_gb() if tcfg.rss_limit_gb < 0
                  else tcfg.rss_limit_gb)
-    if n_proc > 1 and rss_limit:
-        # a single-host re-exec would desync the cluster; recovery on pods
-        # is restart-all + --resume (SURVEY §5 semantics)
-        log.info("multi-host run: RSS watchdog disabled")
-        rss_limit = 0
     if rss_limit:
-        log.info("host-RSS watchdog armed at %.1f GB", rss_limit)
+        log.info("host-RSS watchdog armed at %.1f GB%s", rss_limit,
+                 " (coordinated: max RSS across hosts)" if n_proc > 1
+                 else "")
 
     # dataset size statistics, stored with every checkpoint: test.py derives
     # the grouper's ghost-killing size prior from them (DESIGN.md rule 3).
@@ -278,8 +282,12 @@ def main() -> None:
             log.info("epoch %d held-out eval (%.0fs): %s",
                      epoch, time.time() - t_ev, val)
             # best-checkpoint tracking: the deployable metric is the EMA
-            # mAP when EMA is on (what --use_ema evals), else the raw one
-            cur = val.get("val_mAP_dsb_ema", val["val_mAP_dsb"])
+            # mAP when EMA is on (what --use_ema evals), else the raw one.
+            # Multi-host: the main host's value rules — hosts computing the
+            # float independently could straddle the > comparison and make
+            # mismatched checkpoint.save calls (a collective) below
+            cur = multihost.broadcast_scalar(
+                val.get("val_mAP_dsb_ema", val["val_mAP_dsb"]))
             if cur > best_val["metric"]:
                 best_val.update(epoch=epoch, metric=cur)
                 new_best = True
@@ -330,6 +338,10 @@ def main() -> None:
                      "(use --weights %s/best)", best_val["metric"], epoch,
                      tcfg.save_dir)
         rss = host_rss_gb()
+        if rss_limit and n_proc > 1:
+            # every host must reach the SAME restart decision (the saves
+            # below are collectives): gate on the cluster-wide max RSS
+            rss = multihost.all_hosts_max(rss)
         if rss_limit and rss > rss_limit and epoch < tcfg.num_epochs - 1:
             if not saved_this_epoch:
                 checkpoint.save(tcfg.save_dir, epoch, state,
