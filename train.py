@@ -218,7 +218,9 @@ def main() -> None:
         rc = evaluate.evaluate_coco(recs)
         return {"val_mAP_dsb": round(r["mAP_dsb2018"], 4),
                 "val_AP_coco": round(rc["AP_coco"], 4),
-                "val_AP50": round(rc["AP50"], 4)}
+                "val_AP50": round(rc["AP50"], 4),
+                "val_AJI": round(evaluate.evaluate_aji(recs)["AJI"], 4),
+                "val_PQ": round(evaluate.evaluate_pq(recs)["PQ"], 4)}
 
     import itertools
 
