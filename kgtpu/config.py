@@ -330,7 +330,7 @@ def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--dataset", default="dsb2018",
                    choices=["synthetic", "synthetic_crowded",
                             "synthetic_hard", "dsb2018", "neural_cells",
-                            "coco"])
+                            "coco", "folder"])
     p.add_argument("--data_dir", default="")
     p.add_argument("--input_size", type=int, default=512)
     p.add_argument("--backbone", default="hourglass",

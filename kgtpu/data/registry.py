@@ -23,4 +23,7 @@ def build_dataset(cfg: DataConfig, split: str = "train"):
     if cfg.dataset == "coco":
         from kgtpu.data.coco import CocoDataset
         return CocoDataset(cfg.data_dir, split=split)
+    if cfg.dataset == "folder":
+        from kgtpu.data.folder import ImageFolder
+        return ImageFolder(cfg.data_dir, split=split)
     raise ValueError(f"unknown dataset: {cfg.dataset}")

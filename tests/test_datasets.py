@@ -313,3 +313,38 @@ def test_coco_canonical_year_layout(tmp_path):
     tr = CocoDataset(root, split="train", val_fraction=0.4)
     va = CocoDataset(root, split="val", val_fraction=0.4)
     assert set(tr.ids).isdisjoint(va.ids) and len(tr) + len(va) == 6
+
+
+def test_image_folder_reader(tmp_path):
+    from kgtpu.data.folder import ImageFolder
+    root = str(tmp_path)
+    os.makedirs(os.path.join(root, "plate1"))
+    rng = np.random.default_rng(5)
+    for name in ("a.png", os.path.join("plate1", "b.tif")):
+        img = rng.integers(0, 255, size=(24, 32, 3)).astype(np.uint8)
+        cv2.imwrite(os.path.join(root, name), img)
+    ds = ImageFolder(root)
+    assert len(ds) == 2
+    s = ds[0]
+    assert s["image"].shape == (24, 32, 3)
+    assert s["label_map"].shape == (24, 32) and s["label_map"].max() == 0
+    ids = {ds[i]["id"] for i in range(2)}
+    assert ids == {"a", "plate1__b"}
+    with pytest.raises(FileNotFoundError):
+        ImageFolder(str(tmp_path / "empty_nope"))
+
+
+def test_image_folder_train_rejected(tmp_path):
+    """train.py must refuse the annotation-less folder dataset."""
+    import subprocess
+    import sys
+    root = str(tmp_path)
+    cv2.imwrite(os.path.join(root, "x.png"), np.zeros((8, 8, 3), np.uint8))
+    top = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    r = subprocess.run(
+        [sys.executable, os.path.join(top, "train.py"), "--dataset",
+         "folder", "--data_dir", root],
+        env={**os.environ, "KGTPU_PLATFORM": "cpu"},
+        capture_output=True, text=True, timeout=300)
+    assert r.returncode != 0
+    assert "inference-only" in r.stderr

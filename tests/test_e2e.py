@@ -147,11 +147,14 @@ def test_cli_roundtrip_self_describing_checkpoint(trained, tmp_path):
     r = subprocess.run(
         [sys.executable, os.path.join(root, "eval.py"),
          "--pred_dir", out_dir, "--dataset", "synthetic",
-         "--protocol", "coco"],
+         "--protocol", "all"],
         env=env, capture_output=True, text=True, timeout=300)
     assert r.returncode == 0, r.stderr[-2000:]
     cli = json.loads(r.stdout.strip().splitlines()[-1])
     assert cli["num_images"] == 16
+    # --protocol all carries every protocol family through the CLI
+    for k in ("mAP_dsb2018", "AP_coco", "AJI", "PQ", "SQ", "RQ"):
+        assert 0.0 <= cli[k] <= 1.0, (k, cli)
 
     # in-memory reference over the same test split
     infer = build_infer_fn(model, cfg)

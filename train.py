@@ -50,6 +50,10 @@ def main() -> None:
     n_proc = jax.process_count()
     is_main = jax.process_index() == 0
 
+    if cfg.data.dataset == "folder":
+        raise SystemExit("--dataset folder is inference-only (no "
+                         "annotations); train on dsb2018/neural_cells/coco/"
+                         "synthetic* instead")
     divisor = required_divisor(cfg.model)
     if cfg.data.input_size % divisor:
         raise SystemExit(
