@@ -204,6 +204,11 @@ class InferConfig:
                                        # stage shrinks ~D/dets-fold.  0 =
                                        # dense (all D slots every call);
                                        # valid-slot outputs are identical
+    mask_rescore: float = 0.0          # w>0: multiply each detection score
+                                       # by maskness^w (mean mask prob over
+                                       # the mask head's own foreground) —
+                                       # SOLO/Mask-Scoring-style stage-2
+                                       # confidence rescoring; 0 = off
     batch_size: int = 1
     # whole-slide sliding-window tiling (BASELINE config 5)
     tile_size: int = 512
@@ -451,6 +456,9 @@ def build_test_parser() -> argparse.ArgumentParser:
     p.add_argument("--tta_vote_thresh", type=float, default=0.15,
                    help="drop TTA-merged boxes whose agreement-voted score "
                         "is below this (only with --tta_vote mean)")
+    p.add_argument("--mask_rescore", type=float, default=0.0,
+                   help="w>0 multiplies each detection score by maskness^w "
+                        "(mean mask prob over the mask head's foreground)")
     p.add_argument("--save_dir", default="results")
     p.add_argument("--coco_json", default="",
                    help="also write predictions as COCO results JSON "
@@ -554,6 +562,7 @@ def config_from_test_args(a: argparse.Namespace) -> Config:
         infer=dataclasses.replace(c.infer, weights=a.weights, test_scales=scales,
                                   test_flip=a.test_flip,
                                   mask_chunk=a.mask_chunk,
+                                  mask_rescore=a.mask_rescore,
                                   tta_vote=a.tta_vote,
                                   tta_vote_thresh=a.tta_vote_thresh,
                                   input_size=a.input_size, save_dir=a.save_dir,

@@ -139,6 +139,27 @@ def _mask_probs(model: KGNet, cfg: Config, params, feats: jnp.ndarray,
     return jax.nn.sigmoid(logits)
 
 
+def _rescore_by_maskness(cfg: Config, probs: jnp.ndarray,
+                         scores: jnp.ndarray, valid: jnp.ndarray
+                         ) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Stage-2 confidence rescoring (`--mask_rescore w`, SOLO/Mask-Scoring
+    lineage): multiply each detection score by maskness^w, where maskness =
+    mean mask probability over the pixels the mask head itself marks
+    foreground.  A confident box whose mask is mushy (heavy occlusion, a
+    ghost pair spanning two cells) gets discounted, and the detection-score
+    gate re-applies to the rescored score so such detections drop out
+    entirely (ranking-only rescoring cannot move the FP-counting DSB mAP).
+    w=0 (default) is off.  Returns (scores, valid)."""
+    w = cfg.infer.mask_rescore
+    if w <= 0:
+        return scores, valid
+    fg = (probs > cfg.group.mask_thresh).astype(probs.dtype)
+    maskness = ((probs * fg).sum((-2, -1))
+                / jnp.maximum(fg.sum((-2, -1)), 1.0))
+    scores = scores * jnp.where(valid > 0, maskness, 1.0) ** w
+    return scores, valid & (scores >= cfg.group.score_thresh)
+
+
 def _mask_batch(model: KGNet, cfg: Config, params, feats: jnp.ndarray,
                 dets: Boxes, height: int, width: int) -> dict:
     """Stage 2, batched: ROI crop + mask head over the B·D detection slots
@@ -155,6 +176,20 @@ def _mask_batch(model: KGNet, cfg: Config, params, feats: jnp.ndarray,
     its default chunking — a dense [B, D, H, W] paste would not fit HBM)."""
     s = cfg.data.stride
     probs = _mask_probs(model, cfg, params, feats, dets)
+    scores, valid = _rescore_by_maskness(cfg, probs, dets.scores, dets.valid)
+    if cfg.infer.mask_rescore > 0:
+        # the rescore gate can invalidate mid-prefix slots; restore the
+        # kept-first compaction every consumer relies on (label ids 1..k,
+        # test.py<->eval.py slot contract) — valid slots first, rescored
+        # score descending, stable on ties
+        order = jnp.argsort(jnp.where(valid, -scores, jnp.inf), axis=1,
+                            stable=True)
+        dets = Boxes(
+            boxes=jnp.take_along_axis(dets.boxes, order[..., None], axis=1),
+            scores=jnp.take_along_axis(scores, order, axis=1),
+            valid=jnp.take_along_axis(valid, order, axis=1))
+        probs = jnp.take_along_axis(probs, order[..., None, None], axis=1)
+        scores, valid = dets.scores, dets.valid
     boxes_px = dets.boxes * s
     d = dets.boxes.shape[1]
     ch = cfg.infer.mask_chunk
@@ -163,11 +198,11 @@ def _mask_batch(model: KGNet, cfg: Config, params, feats: jnp.ndarray,
     # (a [B, D, H, W] dense intermediate would not fit HBM), so "dense"
     # only meaningfully disables the mask-head scan
     label, score_map = paste_masks_batch(
-        probs, boxes_px, dets.scores, dets.valid, height, width,
+        probs, boxes_px, scores, valid, height, width,
         thresh=cfg.group.mask_thresh,
         box_chunk=(ch if 0 < ch < d else 32))
     return {
-        "boxes": boxes_px, "scores": dets.scores, "valid": dets.valid,
+        "boxes": boxes_px, "scores": scores, "valid": valid,
         "masks": probs, "label_map": label, "score_map": score_map,
     }
 
@@ -382,6 +417,8 @@ def build_tiled_infer_fn(model: KGNet, cfg: Config,
             # TB·D slots densely (a per-tile cond under vmap is a select)
             tdets = Boxes(boxes=boxes_st, scores=scores_t, valid=own_t)
             probs = _mask_probs(model, cfg, params, out["feat"], tdets)
+            scores_t, own_t = _rescore_by_maskness(cfg, probs, scores_t,
+                                                   own_t)
             ch = cfg.infer.mask_chunk
             label, score = paste_masks_batch(
                 probs, boxes_st * s, scores_t, own_t, ts, ts,

@@ -158,3 +158,51 @@ def test_multiscale_runs_and_merges():
     out = ms(params, imgs)
     assert out["label_map"].shape == (128, 128)
     assert out["boxes"].shape == (cfg.group.max_detections, 4)
+
+
+def test_rescore_by_maskness_math_and_gate():
+    """--mask_rescore w: score *= maskness^w (mean prob over the mask's own
+    foreground), and the score gate re-applies to the rescored score."""
+    from kgtpu.infer import _rescore_by_maskness
+    cfg = tiny_test_config()
+    cfg = dataclasses.replace(
+        cfg,
+        group=dataclasses.replace(cfg.group, mask_thresh=0.5,
+                                  score_thresh=0.3),
+        infer=dataclasses.replace(cfg.infer, mask_rescore=1.0))
+    m = 4
+    probs = np.zeros((1, 3, m, m), np.float32)
+    probs[0, 0] = 0.9                      # maskness 0.9
+    probs[0, 1, :, :2] = 0.8               # fg half at 0.8 -> maskness 0.8
+    probs[0, 1, :, 2:] = 0.2
+    probs[0, 2] = 0.2                      # no fg -> maskness 0
+    scores = jnp.asarray([[0.9, 0.4, 0.9]])
+    valid = jnp.asarray([[True, True, True]])
+    s2, v2 = _rescore_by_maskness(cfg, jnp.asarray(probs), scores, valid)
+    np.testing.assert_allclose(np.asarray(s2[0]), [0.81, 0.32, 0.0],
+                               atol=1e-6)
+    assert np.asarray(v2[0]).tolist() == [True, True, False]
+    # w=0 is the identity
+    cfg0 = dataclasses.replace(
+        cfg, infer=dataclasses.replace(cfg.infer, mask_rescore=0.0))
+    s0, v0 = _rescore_by_maskness(cfg0, jnp.asarray(probs), scores, valid)
+    assert s0 is scores and v0 is valid
+
+
+def test_mask_rescore_keeps_valid_prefix():
+    """With the rescore gate on, outputs must keep the kept-first slot
+    compaction (label ids 1..k) that eval.py and test.py rely on."""
+    cfg = tiny_test_config()
+    cfg = dataclasses.replace(
+        cfg, infer=dataclasses.replace(cfg.infer, mask_rescore=1.0))
+    state = train_lib.create_train_state(cfg, jax.random.PRNGKey(0))
+    model = KGNet(cfg=cfg.model)
+    fn = build_infer_fn(model, cfg)
+    img = (np.random.default_rng(0)
+           .integers(0, 255, (1, 128, 128, 3)).astype(np.uint8))
+    out = fn(state.params, img)
+    valid = np.asarray(out["valid"][0])
+    k = int(valid.sum())
+    assert valid[:k].all() and not valid[k:].any()     # prefix property
+    lab = np.asarray(out["label_map"][0])
+    assert set(np.unique(lab)) <= set(range(k + 1))    # ids 1..k only
