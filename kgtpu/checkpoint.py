@@ -177,6 +177,36 @@ def restore(path_or_dir: str, state=None) -> dict:
     return {"state": new_state, "epoch": int(payload["epoch"])}
 
 
+def init_params_from(state, path_or_dir: str, use_ema: bool = False):
+    """Fine-tuning init (`train.py --init_from`): load ONLY the network
+    weights from a checkpoint into a FRESH train state — optimizer state,
+    step and epoch stay at zero (unlike --resume, which restores all three).
+    EMA restarts from the loaded params.  Structure/shape mismatches (a
+    different architecture) fail fast with the differing paths."""
+    payload = _restore_numpy(resolve(path_or_dir))
+    params = payload.get("ema_params") if use_ema else None
+    params = params if params is not None else payload["params"]
+
+    def describe(tree):
+        return {jax.tree_util.keystr(k): tuple(np.shape(v)) for k, v in
+                jax.tree_util.tree_flatten_with_path(tree)[0]}
+    have, want = describe(params), describe(state.params)
+    if have != want:
+        diff = sorted(set(have.items()) ^ set(want.items()))[:8]
+        raise SystemExit(
+            "--init_from checkpoint does not match the model being "
+            f"trained; first differing leaves: {diff}")
+    state = state.replace(params=jax.tree.map(np.asarray, params))
+    if "batch_stats" in payload and getattr(state, "batch_stats",
+                                            None) is not None:
+        state = state.replace(
+            batch_stats=jax.tree.map(np.asarray, payload["batch_stats"]))
+    if getattr(state, "ema_params", None) is not None:
+        state = state.replace(
+            ema_params=jax.tree.map(np.copy, state.params))
+    return state
+
+
 def restore_bundle(path_or_dir: str, use_ema: bool = False) -> tuple[dict, dict]:
     """One restore for inference consumers: (params_or_variables, extra).
 

@@ -155,6 +155,9 @@ class TrainConfig:
                                        # during training (0 = off); results
                                        # land in metrics.jsonl + the log
     resume: str = ""                   # path or "" (fresh start)
+    init_from: str = ""                # fine-tuning: load ONLY params from
+                                       # this checkpoint (fresh optimizer,
+                                       # epoch 0) — unlike --resume
     # host-RSS watchdog (SURVEY §5 failure recovery): past this many GB the
     # run checkpoints and re-execs itself with --resume at the next epoch
     # boundary (the remote-TPU tunnel client leaks host memory per dispatch;
@@ -406,6 +409,9 @@ def build_train_parser() -> argparse.ArgumentParser:
                         "training (0 = off); rows land in metrics.jsonl")
     p.add_argument("--resume", default="", nargs="?", const="latest",
                    help="checkpoint path, or bare flag to resume the latest")
+    p.add_argument("--init_from", default="",
+                   help="fine-tune: initialize ONLY the network weights "
+                        "from this checkpoint (fresh optimizer, epoch 0)")
     p.add_argument("--rss_limit_gb", type=float, default=-1.0,
                    help="host-RSS watchdog: checkpoint + self-restart past "
                         "this many GB (-1 = auto 75%% of RAM, 0 = off)")
@@ -516,6 +522,7 @@ def config_from_train_args(a: argparse.Namespace) -> Config:
                                   num_epochs=a.num_epochs,
                                   steps_per_epoch=a.steps_per_epoch,
                                   save_dir=a.save_dir, resume=a.resume,
+                                  init_from=a.init_from,
                                   save_every_epochs=max(a.save_every, 1),
                                   eval_every_epochs=max(a.eval_every, 0),
                                   num_devices=a.num_devices, seed=a.seed,

@@ -94,3 +94,40 @@ def test_resume_restore_with_extra_payload(tmp_path, state):
     for x, y in zip(jax.tree.leaves(state.params),
                     jax.tree.leaves(out["state"].params)):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_init_params_from_loads_weights_only(tmp_path, state):
+    """--init_from: params (and batch_stats) come from the checkpoint;
+    optimizer state, step and EMA restart fresh; architecture mismatch
+    fails fast."""
+    import dataclasses
+
+    import jax
+
+    from kgtpu import train_lib
+    from kgtpu.config import tiny_test_config
+
+    d = str(tmp_path / "w")
+    # a "trained" checkpoint: perturb the params so they differ from init
+    trained = state.replace(
+        params=jax.tree.map(lambda p: p + 1.0, state.params), step=123)
+    checkpoint.save(d, epoch=9, state=trained)
+
+    cfg = dataclasses.replace(
+        tiny_test_config(),
+        train=dataclasses.replace(tiny_test_config().train, ema_decay=0.9))
+    fresh = train_lib.create_train_state(cfg, jax.random.PRNGKey(0))
+    out = checkpoint.init_params_from(fresh, d)
+    a = jax.tree.leaves(out.params)[0]
+    b = jax.tree.leaves(trained.params)[0]
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+    assert int(out.step) == 0                      # fresh optimizer/step
+    e = jax.tree.leaves(out.ema_params)[0]
+    np.testing.assert_allclose(np.asarray(e), np.asarray(a))  # EMA restarts
+
+    # mismatched architecture -> fail fast with differing leaves
+    cfg2 = dataclasses.replace(
+        cfg, model=dataclasses.replace(cfg.model, base_channels=48))
+    other = train_lib.create_train_state(cfg2, jax.random.PRNGKey(0))
+    with pytest.raises(SystemExit, match="differing leaves"):
+        checkpoint.init_params_from(other, d)

@@ -87,6 +87,10 @@ def main() -> None:
         out = checkpoint.restore(src, state=state)
         state, start_epoch = out["state"], out["epoch"] + 1
         log.info("resumed from %s at epoch %d", src, start_epoch)
+    elif tcfg.init_from:
+        state = checkpoint.init_params_from(state, tcfg.init_from)
+        log.info("initialized params from %s (fresh optimizer/epoch)",
+                 tcfg.init_from)
 
     n_dev = tcfg.num_devices or jax.device_count()
     if n_proc > 1 and tcfg.batch_size % n_proc:
