@@ -107,6 +107,33 @@ def latest_path(save_dir: str) -> str | None:
     return os.path.join(save_dir, best) if best else None
 
 
+def prune(save_dir: str, keep_last: int) -> list[str]:
+    """Retention policy (`train.py --keep_last N`): delete all but the N
+    highest-epoch finalized model_<epoch> dirs.  The epoch recorded in
+    best.json is always protected, in-flight *.orbax-checkpoint-tmp dirs
+    are never touched.  Returns the deleted paths."""
+    if keep_last <= 0 or not os.path.isdir(save_dir):
+        return []
+    epochs = sorted(int(_NAME.match(d).group(1))
+                    for d in os.listdir(save_dir) if _NAME.match(d))
+    protect = set(epochs[-keep_last:])
+    marker = os.path.join(save_dir, "best.json")
+    if os.path.isfile(marker):
+        import json
+
+        with open(marker) as f:
+            protect.add(int(json.load(f)["epoch"]))
+    deleted = []
+    import shutil
+
+    for e in epochs:
+        if e not in protect:
+            p = os.path.join(save_dir, f"model_{e}")
+            shutil.rmtree(p, ignore_errors=True)
+            deleted.append(p)
+    return deleted
+
+
 def resolve(path_or_dir: str) -> str:
     """Accept a checkpoint dir (→ latest model_<epoch>), a concrete
     model_<epoch> path, or `<dir>/best` (→ the epoch recorded in the

@@ -151,6 +151,9 @@ class TrainConfig:
     # checkpoint semantics mirror the reference: epoch-numbered files + --resume
     save_dir: str = "weights"
     save_every_epochs: int = 1
+    keep_last: int = 0                 # retention: keep only the N newest
+                                       # model_<epoch> dirs (+ the best.json
+                                       # epoch); 0 = keep all
     eval_every_epochs: int = 0         # run held-out AP every N epochs
                                        # during training (0 = off); results
                                        # land in metrics.jsonl + the log
@@ -404,6 +407,9 @@ def build_train_parser() -> argparse.ArgumentParser:
     p.add_argument("--save_every", type=int, default=1,
                    help="checkpoint every N epochs (the final epoch always "
                         "saves)")
+    p.add_argument("--keep_last", type=int, default=0,
+                   help="keep only the N newest checkpoints (+ the best-val "
+                        "epoch); 0 = keep all")
     p.add_argument("--eval_every", type=int, default=0,
                    help="evaluate held-out AP every N epochs during "
                         "training (0 = off); rows land in metrics.jsonl")
@@ -524,6 +530,7 @@ def config_from_train_args(a: argparse.Namespace) -> Config:
                                   save_dir=a.save_dir, resume=a.resume,
                                   init_from=a.init_from,
                                   save_every_epochs=max(a.save_every, 1),
+                                  keep_last=max(a.keep_last, 0),
                                   eval_every_epochs=max(a.eval_every, 0),
                                   num_devices=a.num_devices, seed=a.seed,
                                   ema_decay=a.ema_decay,

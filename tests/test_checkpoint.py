@@ -131,3 +131,27 @@ def test_init_params_from_loads_weights_only(tmp_path, state):
     other = train_lib.create_train_state(cfg2, jax.random.PRNGKey(0))
     with pytest.raises(SystemExit, match="differing leaves"):
         checkpoint.init_params_from(other, d)
+
+
+def test_prune_keeps_newest_and_best(tmp_path, state):
+    """--keep_last retention: newest N survive, the best.json epoch is
+    protected, in-flight tmp dirs untouched."""
+    import json
+
+    d = str(tmp_path / "w")
+    for e in (1, 3, 5, 7, 9):
+        checkpoint.save(d, epoch=e, state=state)
+    with open(os.path.join(d, "best.json"), "w") as f:
+        json.dump({"epoch": 3, "metric": 0.9}, f)
+    os.makedirs(os.path.join(d, "model_11.orbax-checkpoint-tmp"))
+
+    deleted = checkpoint.prune(d, keep_last=2)
+    left = sorted(x for x in os.listdir(d) if x.startswith("model_"))
+    assert left == ["model_11.orbax-checkpoint-tmp", "model_3", "model_7",
+                    "model_9"]
+    assert sorted(os.path.basename(p) for p in deleted) == ["model_1",
+                                                            "model_5"]
+    # protected best still restores
+    assert checkpoint.resolve(os.path.join(d, "best")).endswith("model_3")
+    # keep_last=0 is a no-op
+    assert checkpoint.prune(d, keep_last=0) == []

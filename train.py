@@ -329,6 +329,11 @@ def main() -> None:
             (epoch + 1) % tcfg.save_every_epochs == 0
             or epoch == tcfg.num_epochs - 1)
         if saved_this_epoch:
+            if tcfg.keep_last and is_main:
+                # prune BEFORE the new async save: only finalized dirs are
+                # candidates, the in-flight write is never touched
+                for p in checkpoint.prune(tcfg.save_dir, tcfg.keep_last):
+                    log.info("pruned %s (--keep_last %d)", p, tcfg.keep_last)
             # async: the disk write overlaps the next epoch's steps; orbax
             # queues/serializes saves, and wait() below flushes before exit
             path = checkpoint.save(tcfg.save_dir, epoch, state,
