@@ -35,7 +35,7 @@ def main():
     bs = int(os.environ.get("KGTPU_BENCH_BATCH", "8"))
     k = int(os.environ.get("KGTPU_BENCH_K", "8"))
     total = int(os.environ.get("KGTPU_BENCH_STEPS", "16"))
-    total -= total % k
+    total = max(total - total % k, k)    # at least one full dispatch group
     if os.environ.get("KGTPU_BENCH_TINY"):      # CPU smoke-test mode
         from kgtpu.config import tiny_test_config
         cfg = tiny_test_config()

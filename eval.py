@@ -33,6 +33,10 @@ def main() -> None:
         jax.config.update("jax_platforms", os.environ["KGTPU_PLATFORM"])
 
     args = build_eval_parser().parse_args()
+    if args.dataset == "folder":
+        raise SystemExit("--dataset folder has no ground truth; every "
+                         "metric would be vacuous — evaluate against "
+                         "dsb2018/neural_cells/coco/synthetic* instead")
 
     with open(os.path.join(args.pred_dir, "detections.json")) as f:
         summary = json.load(f)

@@ -30,6 +30,19 @@ class ImageFolder:
                 f"no image files ({'/'.join(EXTS)}) under {data_dir}")
         self.data_dir = data_dir
         self.paths = sorted(paths)
+        # ids must be unique (they name the output files): flattening the
+        # relpath with '__' can collide (scan__1.png vs scan/1.png) — add a
+        # deterministic suffix to repeats
+        ids, seen = [], {}
+        for p in self.paths:
+            rel = os.path.relpath(p, data_dir)
+            iid = os.path.splitext(rel)[0].replace(os.sep, "__")
+            if iid in seen:
+                seen[iid] += 1
+                iid = f"{iid}~{seen[iid]}"
+            seen.setdefault(iid, 0)
+            ids.append(iid)
+        self._ids = ids
 
     def __len__(self) -> int:
         return len(self.paths)
@@ -40,8 +53,6 @@ class ImageFolder:
         if img is None:
             raise FileNotFoundError(path)
         img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
-        rel = os.path.relpath(path, self.data_dir)
-        iid = os.path.splitext(rel)[0].replace(os.sep, "__")
         return {"image": img,
                 "label_map": np.zeros(img.shape[:2], np.int32),
-                "id": iid}
+                "id": self._ids[idx]}

@@ -140,7 +140,8 @@ def _mask_probs(model: KGNet, cfg: Config, params, feats: jnp.ndarray,
 
 
 def _rescore_by_maskness(cfg: Config, probs: jnp.ndarray,
-                         scores: jnp.ndarray, valid: jnp.ndarray
+                         scores: jnp.ndarray, valid: jnp.ndarray,
+                         gate: float | None = None
                          ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Stage-2 confidence rescoring (`--mask_rescore w`, SOLO/Mask-Scoring
     lineage): multiply each detection score by maskness^w, where maskness =
@@ -157,11 +158,14 @@ def _rescore_by_maskness(cfg: Config, probs: jnp.ndarray,
     maskness = ((probs * fg).sum((-2, -1))
                 / jnp.maximum(fg.sum((-2, -1)), 1.0))
     scores = scores * jnp.where(valid > 0, maskness, 1.0) ** w
-    return scores, valid & (scores >= cfg.group.score_thresh)
+    if gate is None:
+        gate = cfg.group.score_thresh
+    return scores, valid & (scores >= gate)
 
 
 def _mask_batch(model: KGNet, cfg: Config, params, feats: jnp.ndarray,
-                dets: Boxes, height: int, width: int) -> dict:
+                dets: Boxes, height: int, width: int,
+                rescore_gate: float | None = None) -> dict:
     """Stage 2, batched: ROI crop + mask head over the B·D detection slots
     (crop + paste are pure ops and stay vmapped per image).
 
@@ -176,7 +180,8 @@ def _mask_batch(model: KGNet, cfg: Config, params, feats: jnp.ndarray,
     its default chunking — a dense [B, D, H, W] paste would not fit HBM)."""
     s = cfg.data.stride
     probs = _mask_probs(model, cfg, params, feats, dets)
-    scores, valid = _rescore_by_maskness(cfg, probs, dets.scores, dets.valid)
+    scores, valid = _rescore_by_maskness(cfg, probs, dets.scores, dets.valid,
+                                         gate=rescore_gate)
     if cfg.infer.mask_rescore > 0:
         # the rescore gate can invalidate mid-prefix slots; restore the
         # kept-first compaction every consumer relies on (label ids 1..k,
@@ -326,7 +331,13 @@ def build_multiscale_fn(model: KGNet, cfg: Config) -> Callable:
         flat_args = [x for d_ in all_dets
                      for x in (d_.boxes, d_.scores, d_.valid)]
         merged = jax.vmap(merge_one)(*flat_args)
-        out = _mask_batch(model, cfg, params, base_feat, merged, base, base)
+        # mean-vote merge deliberately keeps boxes whose voted score sits in
+        # [tta_vote_thresh, score_thresh): the rescore gate must not undo
+        # that — gate at the looser of the two acceptance thresholds
+        gate = (min(cfg.group.score_thresh, cfg.infer.tta_vote_thresh)
+                if cfg.infer.tta_vote == "mean" else None)
+        out = _mask_batch(model, cfg, params, base_feat, merged, base, base,
+                          rescore_gate=gate)
         if single:
             out = jax.tree.map(lambda x: x[0], out)
         return out

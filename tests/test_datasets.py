@@ -348,3 +348,15 @@ def test_image_folder_train_rejected(tmp_path):
         capture_output=True, text=True, timeout=300)
     assert r.returncode != 0
     assert "inference-only" in r.stderr
+
+
+def test_image_folder_id_collisions_resolved(tmp_path):
+    """scan__1.png and scan/1.png must not share an output id."""
+    from kgtpu.data.folder import ImageFolder
+    root = str(tmp_path)
+    os.makedirs(os.path.join(root, "scan"))
+    for name in ("scan__1.png", os.path.join("scan", "1.png")):
+        cv2.imwrite(os.path.join(root, name), np.zeros((8, 8, 3), np.uint8))
+    ds = ImageFolder(root)
+    ids = [ds[i]["id"] for i in range(len(ds))]
+    assert len(set(ids)) == 2, ids
