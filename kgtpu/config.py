@@ -80,6 +80,9 @@ class DataConfig:
     scale_range: tuple[float, float] = (0.8, 1.2)
     rotate_deg: float = 0.0
     color_jitter: float = 0.2
+    elastic_alpha: float = 0.0         # elastic deformation (Simard 2003):
+                                       # max displacement px (0 = off)
+    elastic_sigma: float = 32.0        # smoothness: noise-grid spacing px
     # Normalization (ImageNet-style means, as in CenterNet-family references)
     mean: tuple[float, float, float] = (0.485, 0.456, 0.406)
     std: tuple[float, float, float] = (0.229, 0.224, 0.225)
@@ -391,6 +394,9 @@ def build_train_parser() -> argparse.ArgumentParser:
     p.add_argument("--aug_scale", default="0.8,1.2",
                    help="random scale-jitter range LO,HI for the joint "
                         "affine augmentation (image/masks/keypoints)")
+    p.add_argument("--aug_elastic", default="0",
+                   help="elastic deformation: ALPHA (max displacement px) "
+                        "or ALPHA,SIGMA (smoothness grid px); 0 = off")
     p.add_argument("--aug_rotate", type=float, default=0.0,
                    help="random rotation range in +/- degrees for the "
                         "joint affine augmentation")
@@ -502,6 +508,15 @@ def config_from_train_args(a: argparse.Namespace) -> Config:
         raise SystemExit(f"--aug_scale {a.aug_scale!r} must be LO,HI")
     if not (0.0 < lo <= hi):
         raise SystemExit(f"--aug_scale {a.aug_scale!r} needs 0 < LO <= HI")
+    try:
+        el = [float(x) for x in str(a.aug_elastic).split(",")]
+        e_alpha, e_sigma = (el + [c.data.elastic_sigma])[:2]
+    except ValueError:
+        raise SystemExit(
+            f"--aug_elastic {a.aug_elastic!r} must be ALPHA or ALPHA,SIGMA")
+    if e_alpha < 0 or e_sigma <= 0:
+        raise SystemExit(
+            f"--aug_elastic {a.aug_elastic!r} needs ALPHA >= 0, SIGMA > 0")
     return Config(
         model=dataclasses.replace(c.model, backbone=a.backbone,
                                   num_stacks=a.num_stacks, norm=a.norm,
@@ -515,7 +530,9 @@ def config_from_train_args(a: argparse.Namespace) -> Config:
                                  input_size=a.input_size,
                                  synthetic_train_images=a.synthetic_n,
                                  scale_range=(lo, hi),
-                                 rotate_deg=a.aug_rotate),
+                                 rotate_deg=a.aug_rotate,
+                                 elastic_alpha=e_alpha,
+                                 elastic_sigma=e_sigma),
         group=dataclasses.replace(c.group, method=a.decode,
                                   max_peaks_per_class=a.max_peaks,
                                   max_detections=a.max_detections,

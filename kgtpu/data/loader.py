@@ -39,6 +39,10 @@ def _prepare_sample(sample: dict, cfg: DataConfig, augment: bool,
             scale_range=cfg.scale_range, rotate_deg=cfg.rotate_deg,
             flip_prob=cfg.flip_prob)
         s = transforms.apply_affine(sample, m, cfg.input_size)
+        if cfg.elastic_alpha > 0:
+            field = transforms.random_elastic_field(
+                rng, cfg.input_size, cfg.elastic_alpha, cfg.elastic_sigma)
+            s = transforms.apply_elastic(s, field)
     else:
         s = transforms.resize_sample(sample, cfg.input_size)
     img = np.ascontiguousarray(s["image"])               # uint8 [H, W, 3]

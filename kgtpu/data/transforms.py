@@ -71,6 +71,44 @@ def apply_affine(sample: dict, m: np.ndarray, out_size: int,
     return out
 
 
+def random_elastic_field(rng: np.random.Generator, out_size: int,
+                         alpha: float, sigma: float) -> np.ndarray:
+    """Smooth random displacement field [H, W, 2] in pixels (Simard 2003,
+    the classic medical/cell-segmentation augmentation): ±1 noise sampled
+    every ~`sigma` px, bicubic-upsampled to the canvas, scaled by `alpha`
+    (≈ the max displacement magnitude in px; bicubic interpolation can
+    overshoot it by ~10-15%)."""
+    g = max(int(np.ceil(out_size / max(sigma, 1.0))) + 1, 2)
+    field = rng.uniform(-1.0, 1.0, (g, g, 2)).astype(np.float32)
+    return cv2.resize(field, (out_size, out_size),
+                      interpolation=cv2.INTER_CUBIC) * alpha
+
+
+def apply_elastic(sample: dict, field: np.ndarray) -> dict:
+    """Warp image (bilinear) + label map (nearest) by the shared field;
+    instance identity stays consistent and GT boxes are recomputed from the
+    warped label map downstream, exactly as for the affine."""
+    h, w = sample["label_map"].shape
+    xs, ys = np.meshgrid(np.arange(w, dtype=np.float32),
+                         np.arange(h, dtype=np.float32))
+    mapx = xs + field[..., 0]
+    mapy = ys + field[..., 1]
+    img = cv2.remap(sample["image"], mapx, mapy, cv2.INTER_LINEAR,
+                    borderMode=cv2.BORDER_CONSTANT, borderValue=0)
+    lab = sample["label_map"]
+    if lab.max() < 2 ** 16:     # same uint16 fast path as apply_affine
+        label = cv2.remap(lab.astype(np.uint16), mapx, mapy,
+                          cv2.INTER_NEAREST, borderMode=cv2.BORDER_CONSTANT,
+                          borderValue=0).astype(np.int32)
+    else:
+        label = cv2.remap(lab.astype(np.float32), mapx, mapy,
+                          cv2.INTER_NEAREST, borderMode=cv2.BORDER_CONSTANT,
+                          borderValue=0).astype(np.int32)
+    out = dict(sample)
+    out["image"], out["label_map"] = img, label
+    return out
+
+
 def resize_sample(sample: dict, out_size: int) -> dict:
     """Deterministic letterbox-free resize to out_size² (eval path)."""
     sh, sw = sample["label_map"].shape

@@ -119,3 +119,51 @@ def test_batch_iterator_bounded_and_prefetching():
     batches = list(batch_iterator(ds, cfg, 2, steps=3, seed=0))
     assert len(batches) == 3
     assert all(b["image"].shape == (2, 48, 48, 3) for b in batches)
+
+
+def test_elastic_warp_consistency():
+    """Elastic deformation keeps image/label consistency: instance ids
+    survive, the warped mask moves WITH the image, and zero alpha is the
+    identity."""
+    from kgtpu.data import transforms
+    rng = np.random.default_rng(0)
+    size = 96
+    img = np.zeros((size, size, 3), np.uint8)
+    lab = np.zeros((size, size), np.int32)
+    lab[20:50, 30:60] = 1
+    lab[60:80, 10:30] = 2
+    img[lab == 1] = (255, 0, 0)
+    img[lab == 2] = (0, 255, 0)
+    sample = {"image": img, "label_map": lab}
+
+    # alpha=0 -> identity
+    f0 = transforms.random_elastic_field(rng, size, 0.0, 32.0)
+    s0 = transforms.apply_elastic(sample, f0)
+    np.testing.assert_array_equal(s0["label_map"], lab)
+    np.testing.assert_array_equal(s0["image"], img)
+
+    # a real warp: ids survive, and the red channel still coincides with
+    # instance 1's warped mask (image and label moved together)
+    f = transforms.random_elastic_field(rng, size, 8.0, 24.0)
+    assert np.abs(f).max() <= 8.0 * 1.2   # bicubic overshoots ±1 slightly
+    s = transforms.apply_elastic(sample, f)
+    assert set(np.unique(s["label_map"])) == {0, 1, 2}
+    m1 = s["label_map"] == 1
+    red = s["image"][..., 0] > 128
+    inter = (m1 & red).sum()
+    assert inter / m1.sum() > 0.95, "label did not move with the image"
+    # area approximately preserved (smooth field, modest alpha)
+    assert 0.7 < m1.sum() / (lab == 1).sum() < 1.3
+
+
+def test_elastic_flag_reaches_config():
+    from kgtpu.config import build_train_parser, config_from_train_args
+    a = build_train_parser().parse_args(
+        ["--dataset", "synthetic", "--aug_elastic", "12,16"])
+    cfg = config_from_train_args(a)
+    assert cfg.data.elastic_alpha == 12.0
+    assert cfg.data.elastic_sigma == 16.0
+    import pytest
+    with pytest.raises(SystemExit):
+        config_from_train_args(build_train_parser().parse_args(
+            ["--dataset", "synthetic", "--aug_elastic", "nope"]))
