@@ -348,7 +348,8 @@ def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--data_dir", default="")
     p.add_argument("--input_size", type=int, default=512)
     p.add_argument("--backbone", default="hourglass",
-                   choices=["hourglass", "hourglass_lite", "resnet_fpn"])
+                   choices=["hourglass", "hourglass_lite", "resnet_fpn",
+                            "unet"])
     p.add_argument("--num_stacks", type=int, default=2)
     p.add_argument("--norm", default="group", choices=["group", "batch"],
                    help="backbone normalization (batch = reference-style BN)")

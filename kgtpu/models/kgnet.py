@@ -20,6 +20,7 @@ from kgtpu.models.heads import KeypointHeads
 from kgtpu.models.hourglass import HourglassBackbone
 from kgtpu.models.mask_head import MaskHead
 from kgtpu.models.resnet import ResNetFPN
+from kgtpu.models.unet import UNetBackbone
 from kgtpu.ops.roi import crop_and_resize
 
 
@@ -41,6 +42,11 @@ class KGNet(nn.Module):
         elif self.cfg.backbone == "resnet_fpn":
             self.backbone = ResNetFPN(
                 features=self.cfg.base_channels, norm=self.cfg.norm, dtype=dtype)
+            n_heads = 1
+        elif self.cfg.backbone == "unet":
+            self.backbone = UNetBackbone(
+                features=self.cfg.base_channels, depth=self.cfg.hg_depth,
+                norm=self.cfg.norm, dtype=dtype)
             n_heads = 1
         else:
             raise ValueError(f"unknown backbone: {self.cfg.backbone}")

@@ -17,7 +17,9 @@ def _tiny(backbone):
                        mask_channels=8, compute_dtype="float32")
 
 
-@pytest.mark.parametrize("backbone,nstacks", [("hourglass", 2), ("resnet_fpn", 1)])
+@pytest.mark.parametrize("backbone,nstacks", [("hourglass", 2),
+                                              ("resnet_fpn", 1),
+                                              ("unet", 1)])
 def test_forward_shapes(backbone, nstacks):
     cfg = _tiny(backbone)
     model = KGNet(cfg=cfg)
