@@ -5,10 +5,12 @@ augmentation on the host (input pipeline, overlapped with device compute);
 everything downstream of `Batch` — target rendering, losses, decoding — is
 device-side.  A `Batch` is a dict of fixed-shape NumPy arrays:
 
-  image     [B, H, W, 3] float32, normalized
+  image     [B, H, W, 3] uint8, raw pixels (normalization is device-side)
   boxes     [B, N, 4]   float32, input-pixel coords (x0, y0, x1, y1)
   valid     [B, N]      float32, 1 for real instances (packed first)
-  label_map [B, H, W]   int32, 0 = background, i+1 = instance i
+  label_map [B, H, W]   uint16, 0 = background, i+1 = instance i
+                        (ids fit: N <= 2^16; the int32 map was the largest
+                        leaf crossing the host→device link)
 
 N = DataConfig.max_instances; extra instances are dropped by area rank.
 """

@@ -74,10 +74,16 @@ def make_batch(dataset, indices, cfg: DataConfig, augment: bool,
         rngs = [rng] * len(indices)
     samples = [_prepare_sample(dataset[i], cfg, augment, r)
                for i, r in zip(indices, rngs)]
-    return {
+    out = {
         k: np.stack([s[k] for s in samples]) for k in
         ("image", "img_gain", "img_bias", "boxes", "valid", "label_map")
     }
+    # label ids fit uint16 (<= max_instances <= 2^16): at 512² the int32 map
+    # is the LARGEST leaf in the batch (4 bytes/px vs the image's 3) —
+    # halving it matters on high-RTT host→device links; consumers compare /
+    # cast, never index-arithmetic on the dtype
+    out["label_map"] = out["label_map"].astype(np.uint16)
+    return out
 
 
 def batch_iterator(dataset, cfg: DataConfig, batch_size: int, *,
