@@ -27,7 +27,7 @@ import numpy as np
 from benchmarks.common import emit
 from kgtpu import train_lib
 from kgtpu.config import Config
-from kgtpu.data import build_dataset, make_batch
+from kgtpu.data import build_dataset, make_batch, stack_batches
 from kgtpu.models import KGNet
 
 
@@ -61,8 +61,7 @@ def main():
     s_w = jax.tree.map(np.copy, state1)
     s_w, m = step(s_w, batches[0], rng)
     float(m["loss"])
-    stack0 = {key: np.stack([b[key] for b in batches[:k]])
-              for key in batches[0]}
+    stack0 = stack_batches(batches[:k])
     s_w, ms = multi(jax.tree.map(np.copy, state1), stack0, rng,
                     np.arange(k, dtype=np.int32))
     float(np.asarray(ms["loss"])[-1])
@@ -79,9 +78,7 @@ def main():
     t0 = time.perf_counter()
     s = state2
     for g in range(total // k):
-        stacked = {key: np.stack([b[key] for b in
-                                  batches[g * k:(g + 1) * k]])
-                   for key in batches[0]}
+        stacked = stack_batches(batches[g * k:(g + 1) * k])
         offs = np.arange(g * k, (g + 1) * k, dtype=np.int32)
         s, ms = multi(s, stacked, rng, offs)
         float(np.asarray(ms["loss"])[-1])     # sync once per dispatch

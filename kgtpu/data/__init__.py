@@ -15,13 +15,14 @@ device-side.  A `Batch` is a dict of fixed-shape NumPy arrays:
 N = DataConfig.max_instances; extra instances are dropped by area rank.
 """
 
-from kgtpu.data.loader import Batch, make_batch, batch_iterator
+from kgtpu.data.loader import (Batch, batch_iterator, make_batch,
+                               stack_batches)
 from kgtpu.data.synthetic import SyntheticCells
 from kgtpu.data.dsb2018 import DSB2018
 from kgtpu.data.neural_cells import NeuralCells
 from kgtpu.data.registry import build_dataset
 
 __all__ = [
-    "Batch", "make_batch", "batch_iterator",
+    "Batch", "make_batch", "batch_iterator", "stack_batches",
     "SyntheticCells", "DSB2018", "NeuralCells", "build_dataset",
 ]

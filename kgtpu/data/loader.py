@@ -86,6 +86,11 @@ def make_batch(dataset, indices, cfg: DataConfig, augment: bool,
     return out
 
 
+def stack_batches(batches: list[Batch]) -> Batch:
+    """Stack k batches on a leading steps axis (multi-step dispatch)."""
+    return {k: np.stack([b[k] for b in batches]) for k in batches[0]}
+
+
 def batch_iterator(dataset, cfg: DataConfig, batch_size: int, *,
                    augment: bool = True, shuffle: bool = True, seed: int = 0,
                    steps: int | None = None, prefetch: int = 8,

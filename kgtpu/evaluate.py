@@ -203,8 +203,9 @@ def aji_image(pred: np.ndarray, gt: np.ndarray) -> float:
     iou = inter / np.maximum(union, 1e-9)
     best = iou.argmax(0)                                   # [G] best pred
     overlapped = iou.max(0) > 0
-    c = inter[best[overlapped], np.nonzero(overlapped)[0]].sum()
-    u = union[best[overlapped], np.nonzero(overlapped)[0]].sum()
+    gi = np.nonzero(overlapped)[0]
+    c = inter[best[gi], gi].sum()
+    u = union[best[gi], gi].sum()
     u += g_area[~overlapped].sum()
     unused = np.ones(P, bool)
     unused[best[overlapped]] = False

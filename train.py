@@ -43,7 +43,7 @@ def main() -> None:
     log = logging.getLogger("kgtpu.train")
 
     from kgtpu import checkpoint, train_lib
-    from kgtpu.data import batch_iterator, build_dataset
+    from kgtpu.data import batch_iterator, build_dataset, stack_batches
     from kgtpu.models import KGNet, required_divisor
     from kgtpu.parallel import make_mesh, multihost, replicated, shard_batch
 
@@ -249,8 +249,7 @@ def main() -> None:
                 # k steps in ONE dispatch: stack batches on a leading steps
                 # axis, scan on device.  Same update sequence as the
                 # single-step path (per-step keys fold the same offsets).
-                stacked = {key: np.stack([g[key] for g in group])
-                           for key in group[0]}
+                stacked = stack_batches(group)
                 if n_proc > 1:
                     stacked = multihost.global_batch(stacked, mesh,
                                                      stacked=True)
