@@ -88,9 +88,12 @@ def main() -> None:
                     for i, s in enumerate(samples)]
             r = evaluate.evaluate_dsb2018(recs)
             rc = evaluate.evaluate_coco(recs)
+            aji = evaluate.evaluate_aji(recs)["AJI"]
+            pq = evaluate.evaluate_pq(recs)["PQ"]
             print(f"conf={conf:.2f} sp={sp:g}: "
                   f"mAP={r['mAP_dsb2018']:.3f} AP={rc['AP_coco']:.3f} "
                   f"AP50={rc['AP50']:.3f} AP75={rc['AP75']:.3f} "
+                  f"AJI={aji:.3f} PQ={pq:.3f} "
                   f"dets/img={vals.sum() / len(samples):.1f} "
                   f"({time.time() - t0:.0f}s)", flush=True)
 

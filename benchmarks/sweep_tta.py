@@ -91,9 +91,12 @@ def main() -> None:
                  "gt_label": gts[i]} for i in range(n)]
         r = evaluate.evaluate_dsb2018(recs)
         rc = evaluate.evaluate_coco(recs)
+        aji = evaluate.evaluate_aji(recs)["AJI"]
+        pq = evaluate.evaluate_pq(recs)["PQ"]
         dets = np.asarray(out["valid"]).sum() / n
         print(f"{tag}: mAP={r['mAP_dsb2018']:.3f} AP={rc['AP_coco']:.3f} "
               f"AP50={rc['AP50']:.3f} AP75={rc['AP75']:.3f} "
+              f"AJI={aji:.3f} PQ={pq:.3f} "
               f"dets/img={dets:.1f}", flush=True)
         return r["mAP_dsb2018"], rc["AP_coco"]
 
