@@ -25,12 +25,15 @@ def _free_port() -> int:
 
 
 def _train_cmd(save_dir, extra):
+    # --steps_per_dispatch 2 on purpose: the 2 steps/epoch run in ONE
+    # scanned dispatch, so this also covers the multihost x multi-step
+    # path (global [k, local_B, ...] stacks via stacked_batch_sharding)
     return [sys.executable, os.path.join(ROOT, "train.py"),
             "--dataset", "synthetic", "--synthetic_n", "8",
             "--num_epochs", "1", "--steps_per_epoch", "2",
             "--batch_size", "4", "--input_size", "64",
             "--backbone", "hourglass_lite", "--save_dir", save_dir,
-            "--rss_limit_gb", "0"] + extra
+            "--steps_per_dispatch", "2", "--rss_limit_gb", "0"] + extra
 
 
 def test_two_process_training_end_to_end(tmp_path):
