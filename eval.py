@@ -32,6 +32,9 @@ def main() -> None:
         import jax
         jax.config.update("jax_platforms", os.environ["KGTPU_PLATFORM"])
 
+    from kgtpu.utils import enable_compilation_cache
+    enable_compilation_cache()
+
     args = build_eval_parser().parse_args()
     if args.dataset == "folder":
         raise SystemExit("--dataset folder has no ground truth; every "

@@ -2,5 +2,7 @@
 
 from kgtpu.utils.profiling import cost_analysis, trace
 from kgtpu.utils.debug import enable_nan_debugging, checked
+from kgtpu.utils.cache import enable_compilation_cache
 
-__all__ = ["cost_analysis", "trace", "enable_nan_debugging", "checked"]
+__all__ = ["cost_analysis", "trace", "enable_nan_debugging", "checked",
+           "enable_compilation_cache"]

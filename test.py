@@ -38,6 +38,9 @@ def main() -> None:
     if os.environ.get("KGTPU_PLATFORM"):
         jax.config.update("jax_platforms", os.environ["KGTPU_PLATFORM"])
 
+    from kgtpu.utils import enable_compilation_cache
+    enable_compilation_cache()
+
     if getattr(args, "debug_nans", False):
         from kgtpu.utils import enable_nan_debugging
         enable_nan_debugging()

@@ -67,6 +67,34 @@ def test_checked_group_and_paste_clean():
     err2.throw()
 
 
+def test_compilation_cache_round_trip(tmp_path, monkeypatch):
+    """enable_compilation_cache points JAX's persistent executable cache at
+    the resolved directory and a fresh jit writes an entry there."""
+    from kgtpu.utils import enable_compilation_cache
+
+    d = str(tmp_path / "jaxcache")
+    old = jax.config.jax_compilation_cache_dir
+    try:
+        assert enable_compilation_cache(d) == d
+        assert jax.config.jax_compilation_cache_dir == d
+        # small CPU programs compile under the 0.5 s production floor;
+        # drop it so this test observes an actual write
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+        n = np.random.default_rng(2).integers(64, 128)  # unseen-shape program
+        jax.jit(lambda a: a @ a)(jnp.ones((int(n), int(n)))).block_until_ready()
+        assert os.listdir(d), "no cache entry written"
+    finally:
+        jax.config.update("jax_compilation_cache_dir", old)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    # env-var opt-out and unwritable paths both disable instead of failing
+    monkeypatch.setenv("KGTPU_COMPILE_CACHE", "off")
+    assert enable_compilation_cache() is None
+    blocker = tmp_path / "not_a_dir"
+    blocker.write_text("")
+    assert enable_compilation_cache(str(blocker / "sub")) is None
+
+
 def test_host_rss_and_limits():
     from kgtpu.utils.host import default_rss_limit_gb, host_rss_gb
     rss = host_rss_gb()

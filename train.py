@@ -29,6 +29,9 @@ def main() -> None:
     if os.environ.get("KGTPU_PLATFORM"):
         jax.config.update("jax_platforms", os.environ["KGTPU_PLATFORM"])
 
+    from kgtpu.utils import enable_compilation_cache
+    enable_compilation_cache()
+
     # multi-host DP: same command on every host, before any device query
     if getattr(args, "coordinator", ""):
         from kgtpu.parallel import multihost
