@@ -109,20 +109,26 @@ def latest_path(save_dir: str) -> str | None:
 
 def prune(save_dir: str, keep_last: int) -> list[str]:
     """Retention policy (`train.py --keep_last N`): delete all but the N
-    highest-epoch finalized model_<epoch> dirs.  The epoch recorded in
-    best.json is always protected, in-flight *.orbax-checkpoint-tmp dirs
-    are never touched.  Returns the deleted paths."""
+    highest-epoch finalized model_<epoch> dirs.  Always protected: the epoch
+    recorded in best.json, every epoch listed in save_dir/pinned.json (a JSON
+    list — pin the checkpoint behind any published number with
+    ``echo '[64]' > save_dir/pinned.json``; see docs/OPERATIONS.md), and
+    in-flight *.orbax-checkpoint-tmp dirs.  Returns the deleted paths."""
     if keep_last <= 0 or not os.path.isdir(save_dir):
         return []
     epochs = sorted(int(_NAME.match(d).group(1))
                     for d in os.listdir(save_dir) if _NAME.match(d))
     protect = set(epochs[-keep_last:])
+    import json
+
     marker = os.path.join(save_dir, "best.json")
     if os.path.isfile(marker):
-        import json
-
         with open(marker) as f:
             protect.add(int(json.load(f)["epoch"]))
+    pins = os.path.join(save_dir, "pinned.json")
+    if os.path.isfile(pins):
+        with open(pins) as f:
+            protect.update(int(e) for e in json.load(f))
     deleted = []
     import shutil
 

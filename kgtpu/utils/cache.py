@@ -34,11 +34,15 @@ def enable_compilation_cache(cache_dir: str | None = None) -> str | None:
     """
     if cache_dir is None:
         cache_dir = os.environ.get("KGTPU_COMPILE_CACHE", DEFAULT_DIR)
-    if cache_dir.strip().lower() in _DISABLED:
-        return None
+        # the disable sentinels apply to the env-var path only — an explicit
+        # argument is taken literally (the documented contract)
+        if cache_dir.strip().lower() in _DISABLED:
+            return None
     cache_dir = os.path.expanduser(cache_dir)
     try:
         os.makedirs(cache_dir, exist_ok=True)
+        if not os.access(cache_dir, os.W_OK):
+            raise OSError("directory not writable")
     except OSError as e:
         log.warning("compilation cache disabled: cannot create %s (%s)",
                     cache_dir, e)

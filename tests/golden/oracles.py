@@ -161,3 +161,43 @@ def crop_and_resize(img, boxes, out_size):
                 bot = img[y1i, x0i] * (1 - fx) + img[y1i, x1i] * fx
                 out[di, j, i] = top * (1 - fy) + bot * fy
     return out
+
+
+# --- C17: AP matching (host evaluator) --------------------------------------
+
+def greedy_tp_flags(iou, scores, thresholds):
+    """Per-threshold greedy-by-score matching, the slow transparent loop:
+    visit predictions by descending score (ties: lowest index), each takes
+    the highest-IoU unused GT with IoU >= t (ties: lowest GT index).
+    Returns [T, P] bool TP flags."""
+    P, G = iou.shape
+    flags = np.zeros((len(thresholds), P), bool)
+    for ti, t in enumerate(thresholds):
+        used = np.zeros(G, bool)
+        for i in np.argsort(-scores, kind="stable"):
+            best_j, best = -1, -1.0
+            for j in range(G):
+                if not used[j] and iou[i, j] >= t and iou[i, j] > best:
+                    best, best_j = iou[i, j], j
+            if best_j >= 0:
+                used[best_j] = True
+                flags[ti, i] = True
+    return flags
+
+
+def coco_ap(scores, flags, n_gt):
+    """101-point-interpolated AP per threshold from dataset-wide TP flags
+    ([T, N] aligned with scores [N]) — the textbook loop."""
+    order = np.argsort(-scores, kind="stable")
+    aps = []
+    for t in range(flags.shape[0]):
+        tp = np.cumsum(flags[t][order])
+        fp = np.cumsum(~flags[t][order])
+        recall = tp / max(n_gt, 1)
+        precision = tp / np.maximum(tp + fp, 1e-9)
+        ap = 0.0
+        for r in np.linspace(0, 1, 101):
+            sel = recall >= r
+            ap += (precision[sel].max() if sel.any() else 0.0) / 101
+        aps.append(float(ap))
+    return aps

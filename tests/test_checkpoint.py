@@ -155,3 +155,19 @@ def test_prune_keeps_newest_and_best(tmp_path, state):
     assert checkpoint.resolve(os.path.join(d, "best")).endswith("model_3")
     # keep_last=0 is a no-op
     assert checkpoint.prune(d, keep_last=0) == []
+
+
+def test_prune_honors_pinned_epochs(tmp_path, state):
+    """Epochs listed in save_dir/pinned.json (the artifacts behind published
+    numbers — docs/OPERATIONS.md) survive any --keep_last setting."""
+    import json
+
+    d = str(tmp_path / "w")
+    for e in (1, 2, 3, 4, 5):
+        checkpoint.save(d, epoch=e, state=state)
+    with open(os.path.join(d, "pinned.json"), "w") as f:
+        json.dump([1, 3], f)
+
+    checkpoint.prune(d, keep_last=1)
+    left = sorted(x for x in os.listdir(d) if x.startswith("model_"))
+    assert left == ["model_1", "model_3", "model_5"]

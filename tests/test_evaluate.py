@@ -144,3 +144,43 @@ def test_pair_stats_matches_mask_expansion():
         iou = inter / np.maximum(union, 1e-9)
         ref, _, _ = evaluate.iou_from_label_maps(pred, gt)
         np.testing.assert_allclose(iou, ref, atol=1e-6)
+
+
+def test_greedy_tp_flags_matches_loop_oracle():
+    """The all-thresholds-at-once vectorized matcher equals the per-threshold
+    greedy loop (incl. exact-tie IoUs and tied scores)."""
+    from tests.golden import oracles
+    rng = np.random.default_rng(7)
+    for _ in range(20):
+        P, G = rng.integers(0, 12, 2)
+        iou = rng.uniform(0, 1, (P, G))
+        iou[rng.uniform(size=iou.shape) < 0.3] = 0.55      # exact-tie cells
+        scores = np.round(rng.uniform(0, 1, P), 1)          # tied scores
+        got = evaluate.greedy_tp_flags(iou, scores, evaluate.IOU_THRESHOLDS)
+        want = oracles.greedy_tp_flags(iou, scores, evaluate.IOU_THRESHOLDS)
+        np.testing.assert_array_equal(got, want)
+
+
+def test_evaluate_coco_matches_textbook_ap():
+    """Dataset-level vectorized AP equals the textbook cumsum/101-pt loop on
+    random label maps (multi-image, varying instance counts)."""
+    from tests.golden import oracles
+    rng = np.random.default_rng(3)
+    recs, all_s, all_f, n_gt = [], [], [], 0
+    for _ in range(6):
+        pred = rng.integers(0, 6, (24, 24)).astype(np.int32)
+        gt = rng.integers(0, 5, (24, 24)).astype(np.int32)
+        n_pred_ids = len([i for i in np.unique(pred) if i > 0])
+        scores = rng.uniform(0.1, 1, int(pred.max()))
+        recs.append({"pred_label": pred, "gt_label": gt, "scores": scores})
+        iou, s, ng = evaluate._rec_iou(recs[-1])
+        n_gt += ng
+        all_s.append(s)
+        all_f.append(oracles.greedy_tp_flags(iou, s, evaluate.IOU_THRESHOLDS)
+                     if ng else np.zeros((10, len(s)), bool))
+    got = evaluate.evaluate_coco(recs)
+    want = oracles.coco_ap(np.concatenate(all_s),
+                           np.concatenate(all_f, axis=1), n_gt)
+    assert got["AP_coco"] == pytest.approx(float(np.mean(want)), abs=1e-9)
+    assert got["AP50"] == pytest.approx(want[0], abs=1e-9)
+    assert got["AP75"] == pytest.approx(want[5], abs=1e-9)

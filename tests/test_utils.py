@@ -74,6 +74,8 @@ def test_compilation_cache_round_trip(tmp_path, monkeypatch):
 
     d = str(tmp_path / "jaxcache")
     old = jax.config.jax_compilation_cache_dir
+    old_min_secs = jax.config.jax_persistent_cache_min_compile_time_secs
+    old_min_bytes = jax.config.jax_persistent_cache_min_entry_size_bytes
     try:
         assert enable_compilation_cache(d) == d
         assert jax.config.jax_compilation_cache_dir == d
@@ -85,7 +87,10 @@ def test_compilation_cache_round_trip(tmp_path, monkeypatch):
         assert os.listdir(d), "no cache entry written"
     finally:
         jax.config.update("jax_compilation_cache_dir", old)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          old_min_secs)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes",
+                          old_min_bytes)
 
     # env-var opt-out and unwritable paths both disable instead of failing
     monkeypatch.setenv("KGTPU_COMPILE_CACHE", "off")

@@ -1,0 +1,47 @@
+#!/usr/bin/env bash
+# Keep a long tunneled-TPU training run alive across tunnel outages and
+# trainer crashes (docs/OPERATIONS.md; SURVEY.md §5 failure recovery).
+#
+# Usage:
+#   nohup tools/tpu_watch_resume.sh SAVE_DIR FINAL_EPOCH LOG -- \
+#       python train.py --save_dir SAVE_DIR ... >/dev/null 2>&1 &
+#
+# Behavior:
+#   * launches the given training command and waits on its PID (never
+#     matches processes by name/pattern);
+#   * train.py's own host-RSS watchdog re-execs in place (same PID) — that
+#     restart is invisible to this script, as intended;
+#   * if the trainer EXITS before SAVE_DIR/model_FINAL_EPOCH exists (tunnel
+#     outage, OOM kill, crash), probes the TPU with a bounded `timeout`
+#     (tunnel backend-init hangs otherwise — CLAUDE.md trap) until it is
+#     reachable, then relaunches the SAME command with a bare --resume;
+#   * exits 0 once model_FINAL_EPOCH is finalized on disk (orbax writes are
+#     atomic renames, so the directory existing means it is complete).
+set -u
+SAVE_DIR=$1; FINAL=$2; LOG=$3; shift 3
+[ "${1:-}" = "--" ] && shift
+
+probe_tpu() { timeout 180 python -c "import jax; assert jax.devices()" >/dev/null 2>&1; }
+done_yet()  { [ -d "$SAVE_DIR/model_$FINAL" ]; }
+
+attempt=0
+while ! done_yet; do
+  CMD=("$@")
+  # resume when any checkpoint already exists (also makes re-arming the
+  # watcher against a half-finished run idempotent)
+  if compgen -G "$SAVE_DIR/model_*" >/dev/null 2>&1; then
+    CMD+=(--resume)
+  fi
+  echo "$(date -Is) watcher: launch attempt $attempt: ${CMD[*]}" >>"$LOG"
+  "${CMD[@]}" >>"$LOG" 2>&1
+  rc=$?
+  echo "$(date -Is) watcher: trainer exited rc=$rc" >>"$LOG"
+  attempt=$((attempt + 1))
+  done_yet && break
+  until probe_tpu; do
+    echo "$(date -Is) watcher: TPU unreachable, re-probing in 120s" >>"$LOG"
+    sleep 120
+  done
+  sleep 10
+done
+echo "$(date -Is) watcher: $SAVE_DIR/model_$FINAL present — done" >>"$LOG"
