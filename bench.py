@@ -49,6 +49,13 @@ def main() -> None:
     ndets = int(os.environ.get("KGTPU_BENCH_DETS", "24"))
 
     cfg = Config()
+    # measurement hook: compare backbone variants (e.g. hourglass_fast)
+    # under the identical harness without touching the shipping default
+    bb = os.environ.get("KGTPU_BENCH_BACKBONE")
+    if bb:
+        import dataclasses
+        cfg = dataclasses.replace(
+            cfg, model=dataclasses.replace(cfg.model, backbone=bb))
     state = create_train_state(cfg, jax.random.PRNGKey(0))
     model = KGNet(cfg=cfg.model)
 
@@ -105,7 +112,8 @@ def main() -> None:
     mfu = (flops_img * img_s / peak) if (peak and flops_img) else None
 
     print(json.dumps({
-        "metric": "e2e_images_per_sec_512",
+        "metric": ("e2e_images_per_sec_512" if not bb
+                   else f"e2e_images_per_sec_512_{bb}"),
         "value": round(img_s, 3),
         "unit": "img/s",
         "vs_baseline": round(vs, 3),

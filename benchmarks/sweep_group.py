@@ -33,7 +33,10 @@ def main() -> None:
     p.add_argument("--conf", default="0.15,0.25,0.3,0.35")
     p.add_argument("--sp", default="1.5,2,3",
                    help="size_prune values (0 disables the wh gate)")
-    # model-config flags — must match how the checkpoint was trained
+    # model-config overrides — the architecture normally comes from the
+    # self-describing checkpoint (C18); these apply only when explicitly
+    # passed (or for pre-config legacy checkpoints, where they must match
+    # how the checkpoint was trained)
     p.add_argument("--roi_size", type=int, default=32)
     p.add_argument("--inter_inject", action="store_true")
     p.add_argument("--wh_head", type=int, default=1, choices=[0, 1])
@@ -42,28 +45,41 @@ def main() -> None:
                         "reuses the same checkpoint's wh head)")
     args = p.parse_args()
 
+    import jax
     import numpy as np
     import jax.numpy as jnp
 
+    if os.environ.get("KGTPU_PLATFORM"):
+        jax.config.update("jax_platforms", os.environ["KGTPU_PLATFORM"])
+
     from kgtpu import checkpoint, evaluate
-    from kgtpu.config import Config
+    from kgtpu.config import Config, explicit_cli_dests
     from kgtpu.data import build_dataset
     from kgtpu.data.loader import _prepare_sample
     from kgtpu.infer import build_infer_fn
     from kgtpu.models import KGNet
 
+    params, extra = checkpoint.restore_bundle(args.weights,
+                                              use_ema=bool(args.use_ema))
+    stored = checkpoint.decode_config(extra)
+    explicit = explicit_cli_dests(p)
     c0 = Config()
+    m = stored.model if stored is not None else c0.model
+    kw = {}
+    if stored is None or "roi_size" in explicit:
+        kw.update(roi_size=args.roi_size, mask_size=2 * args.roi_size)
+    if stored is None or "inter_inject" in explicit:
+        kw["inter_inject"] = args.inter_inject
+    if stored is None or "wh_head" in explicit:
+        kw["use_wh_head"] = bool(args.wh_head)
+    if args.decode == "centernet":
+        kw["use_wh_head"] = True    # centernet assembly needs the wh head
     base = dataclasses.replace(
         c0,
-        model=dataclasses.replace(c0.model, roi_size=args.roi_size,
-                                  mask_size=2 * args.roi_size,
-                                  inter_inject=args.inter_inject,
-                                  use_wh_head=bool(args.wh_head)),
+        model=dataclasses.replace(m, **kw),
         data=dataclasses.replace(c0.data, dataset=args.dataset,
                                  data_dir=args.data_dir),
         group=dataclasses.replace(c0.group, method=args.decode))
-    ck = checkpoint.restore(args.weights)
-    params = (ck.get("ema_params") if args.use_ema else None) or ck["params"]
     ds = build_dataset(base.data, split="test")
     rng = np.random.default_rng(0)
     samples = [_prepare_sample(ds[i], base.data, augment=False, rng=rng)

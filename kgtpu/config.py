@@ -33,11 +33,14 @@ NUM_KP_CLASSES = 5
 class ModelConfig:
     """Backbone + heads.  [SURVEY.md C5-C7]"""
 
-    backbone: str = "hourglass"        # "hourglass" | "hourglass_lite" | "resnet_fpn"
-                                       # (_lite is the same architecture — a
-                                       # naming convention for runs that pair
-                                       # it with smaller width/depth fields,
-                                       # e.g. tiny_test_config)
+    backbone: str = "hourglass"        # "hourglass" | "hourglass_lite" |
+                                       # "hourglass_fast" | "resnet_fpn" |
+                                       # "unet".  _lite is the same
+                                       # architecture (naming convention for
+                                       # runs pairing it with smaller
+                                       # width/depth, e.g. tiny_test_config);
+                                       # _fast uses identity skips at the
+                                       # full-res level (see hourglass.py)
     num_stacks: int = 2                # stacked-hourglass depth (1 for lite)
     base_channels: int = 128           # stem width (hourglass: feature width)
     hg_depth: int = 4                  # downsampling levels inside one hourglass
@@ -348,8 +351,8 @@ def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--data_dir", default="")
     p.add_argument("--input_size", type=int, default=512)
     p.add_argument("--backbone", default="hourglass",
-                   choices=["hourglass", "hourglass_lite", "resnet_fpn",
-                            "unet"])
+                   choices=["hourglass", "hourglass_lite", "hourglass_fast",
+                            "resnet_fpn", "unet"])
     p.add_argument("--num_stacks", type=int, default=2)
     p.add_argument("--norm", default="group", choices=["group", "batch"],
                    help="backbone normalization (batch = reference-style BN)")

@@ -14,7 +14,8 @@ def required_divisor(cfg) -> int:
     """Input sides must be divisible by this (stride-4 stem × the backbone's
     internal pool/upsample pairs) or shapes break mid-network — validated at
     the CLIs so users get a clear message instead of a flax broadcast error."""
-    if cfg.backbone in ("hourglass", "hourglass_lite", "unet"):
+    if cfg.backbone in ("hourglass", "hourglass_lite", "hourglass_fast",
+                        "unet"):
         return 4 * (2 ** cfg.hg_depth)
     if cfg.backbone == "resnet_fpn":
         return 32          # stride-4 stem + three stride-2 stages

@@ -16,21 +16,36 @@ from kgtpu.models.blocks import ConvBlock, Residual, upsample2x
 
 
 class HourglassModule(nn.Module):
-    """One recursive hourglass: down → recurse → up, with skip connections."""
+    """One recursive hourglass: down → recurse → up, with skip connections.
+
+    `slim_top` > 0 replaces the skip-path Residual with identity at the
+    top `slim_top` resolution levels (the "hourglass_fast" variant).  The
+    skip Residual at the full-stride-4 resolution is the single most
+    expensive block in the network — 2 of the ~4 full-res-equivalent convs
+    per hourglass — while the high-res detail it carries is also available
+    through the identity path itself; cutting it targets the round-3
+    roofline finding that the backbone ran at ~43% of its HBM bound and
+    dominated e2e time (BASELINE.md)."""
 
     depth: int
     features: int
     norm: str = "group"
     dtype: jnp.dtype = jnp.float32
+    slim_top: int = 0
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        up1 = Residual(self.features, norm=self.norm, dtype=self.dtype)(x, train)
+        if self.slim_top > 0:
+            up1 = x
+        else:
+            up1 = Residual(self.features, norm=self.norm,
+                           dtype=self.dtype)(x, train)
         low = nn.max_pool(x, (2, 2), strides=(2, 2))
         low = Residual(self.features, norm=self.norm, dtype=self.dtype)(low, train)
         if self.depth > 1:
             low = HourglassModule(self.depth - 1, self.features, self.norm,
-                                  self.dtype)(low, train)
+                                  self.dtype,
+                                  slim_top=max(self.slim_top - 1, 0))(low, train)
         else:
             low = Residual(self.features, norm=self.norm,
                            dtype=self.dtype)(low, train)
@@ -50,6 +65,7 @@ class HourglassBackbone(nn.Module):
     norm: str = "group"
     dtype: jnp.dtype = jnp.float32
     remat: bool = False
+    slim_top: int = 0          # identity skip at the top N levels ("_fast")
 
     @nn.compact
     def __call__(self, x, train: bool = False, head_fns=None):
@@ -75,7 +91,8 @@ class HourglassBackbone(nn.Module):
         outs, preds = [], []
         for i in range(self.num_stacks):
             hg = hg_cls(self.depth, self.features, self.norm,
-                        self.dtype, name=f"HourglassModule_{i}")(x, train)
+                        self.dtype, slim_top=self.slim_top,
+                        name=f"HourglassModule_{i}")(x, train)
             feat = ConvBlock(self.features, 3, norm=self.norm,
                              dtype=self.dtype)(hg, train)
             outs.append(feat)

@@ -29,7 +29,8 @@ class KGNet(nn.Module):
 
     def setup(self):
         dtype = jnp.dtype(self.cfg.compute_dtype)
-        if self.cfg.backbone in ("hourglass", "hourglass_lite"):
+        if self.cfg.backbone in ("hourglass", "hourglass_lite",
+                                 "hourglass_fast"):
             self.backbone = HourglassBackbone(
                 num_stacks=self.cfg.num_stacks,
                 features=self.cfg.base_channels,
@@ -37,6 +38,7 @@ class KGNet(nn.Module):
                 norm=self.cfg.norm,
                 dtype=dtype,
                 remat=self.cfg.remat,
+                slim_top=1 if self.cfg.backbone == "hourglass_fast" else 0,
             )
             n_heads = self.cfg.num_stacks
         elif self.cfg.backbone == "resnet_fpn":
@@ -68,7 +70,8 @@ class KGNet(nn.Module):
         """images [B, H, W, 3] → {"stacks": [...], "feat": [B, H/4, W/4, F]}."""
         dtype = jnp.dtype(self.cfg.compute_dtype)
         if (self.cfg.inter_inject
-                and self.cfg.backbone in ("hourglass", "hourglass_lite")
+                and self.cfg.backbone in ("hourglass", "hourglass_lite",
+                                          "hourglass_fast")
                 and self.cfg.num_stacks > 1):
             # CornerNet-style prediction feedback: heads run inside the
             # backbone loop so stack i's logits are re-injected into stack

@@ -27,14 +27,32 @@ import numpy as np
 from kgtpu.parallel.mesh import batch_sharding, stacked_batch_sharding
 
 
-def initialize(coordinator: str, num_hosts: int, host_id: int) -> None:
+def initialize(coordinator: str, num_hosts: int, host_id: int,
+               timeout_s: int = 600) -> None:
     """`jax.distributed.initialize` with explicit topology.
 
     On TPU pod slices the arguments can be omitted entirely (the runtime
     auto-detects); explicit values are what CPU/Gloo and manual clusters
-    need.  Must run before any device query on every host."""
+    need.  Must run before any device query on every host.
+
+    After init this runs one throwaway barrier collective.  The CPU/Gloo
+    backend builds its communicator clique lazily at the FIRST collective,
+    with a hard-coded ~30 s key-value rendezvous window
+    (``make_gloo_tcp_collectives`` exposes no timeout knob) — if that first
+    collective is the training step's gradient all-reduce, the window has
+    to absorb the full inter-host skew of dataset build + model init +
+    compilation, which on a loaded host routinely exceeds 30 s and kills
+    the run with ``GetKeyValue() timed out``.  Doing the rendezvous here,
+    when the hosts are skewed only by import time (they entered
+    ``jax.distributed.initialize`` together — it has its own barrier with
+    a proper `timeout_s`), makes every later collective reuse the
+    established clique."""
     jax.distributed.initialize(coordinator_address=coordinator,
-                               num_processes=num_hosts, process_id=host_id)
+                               num_processes=num_hosts, process_id=host_id,
+                               initialization_timeout=timeout_s)
+    if num_hosts > 1:
+        from jax.experimental import multihost_utils
+        multihost_utils.sync_global_devices("kgtpu:gloo_warmup")
 
 
 def is_main() -> bool:

@@ -35,9 +35,7 @@ def _cfg():
     )
 
 
-@pytest.fixture(scope="module")
-def trained():
-    cfg = _cfg()
+def _train(cfg):
     rng = jax.random.PRNGKey(0)
     state = train_lib.create_train_state(cfg, rng)
     model = KGNet(cfg=cfg.model)
@@ -53,6 +51,11 @@ def trained():
     assert last < 0.6 * first, f"no learning: {first} -> {last}"
     val = build_dataset(cfg.data, split="val")
     return cfg, model, state, val
+
+
+@pytest.fixture(scope="module")
+def trained():
+    return _train(_cfg())
 
 
 def _eval_single(cfg, model, state, val):
@@ -80,6 +83,66 @@ def test_single_scale_ap_floor(trained):
     assert coco["AP50"] > 0.58, coco
 
 
+def test_hard_scene_pipeline_recovery_floor():
+    """Hard-benchmark gate on the POST-NETWORK pipeline (VERDICT r3 item 7):
+    render ground-truth targets for synthetic_hard val scenes (elongated,
+    clustered, occluded cells) and require decode→group→box-NMS to recover
+    the instances.  Deterministic and training-free: a 150-step tiny model
+    measures mAP 0.001 on this phenotype (600 steps: 0.057 — it needs the
+    full flagship schedule), so a learned floor can't gate; the hard-scene
+    regression risk lives in the grouper/NMS geometry handling (ghost pairs
+    across touching elongated cells), which GT targets expose directly."""
+    from kgtpu import ops
+    from kgtpu.config import GroupConfig
+    from tests.golden.oracles import box_iou
+
+    import jax.numpy as jnp
+
+    cfg = _cfg()
+    # 192²: at the fixture's 96² the 24×24 stride-4 heatmap makes touching
+    # elongated cells collapse onto shared corner pixels — a resolution
+    # artifact, not the geometry this gate targets (measured: recall 0.77 at
+    # 96² vs 0.92 at 192², precision 0.97 → 1.0)
+    size = 192
+    dcfg = dataclasses.replace(cfg.data, dataset="synthetic_hard",
+                               input_size=size)
+    val = build_dataset(dcfg, split="val")
+    gcfg = GroupConfig(max_peaks_per_class=32, max_detections=32,
+                       size_prune=1.2)
+    nprng = np.random.default_rng(0)
+    recalls, precisions = [], []
+    for i in range(N_EVAL):
+        s = _prepare_sample(val[i], dcfg, augment=False, rng=nprng)
+        keep = np.asarray(s["valid"]).astype(bool)
+        gt = np.asarray(s["boxes"], np.float32)[keep] / 4.0
+        kpts = ops.keypoints_from_boxes(jnp.asarray(gt))
+        sizes = jnp.stack([gt[:, 3] - gt[:, 1], gt[:, 2] - gt[:, 0]], -1)
+        hm = ops.render_heatmaps(kpts, sizes, jnp.ones(len(gt)),
+                                 size // 4, size // 4)
+        peaks = ops.decode_peaks(hm, None, gcfg.max_peaks_per_class,
+                                 apply_sigmoid=False)
+        # GT size at each decoded corner: nearest GT corner's (w, h)
+        kp_wh = np.zeros((5, gcfg.max_peaks_per_class, 2), np.float32)
+        corners = np.asarray(ops.keypoints_from_boxes(jnp.asarray(gt)))
+        wh_gt = np.stack([gt[:, 2] - gt[:, 0], gt[:, 3] - gt[:, 1]], -1)
+        pc = np.asarray(peaks.coords)
+        for c in range(5):
+            d = np.linalg.norm(pc[c][:, None] - corners[:, c][None], axis=-1)
+            kp_wh[c] = wh_gt[d.argmin(1)]
+        dets = ops.box_nms(
+            ops.group_keypoints(peaks, gcfg, kp_wh=jnp.asarray(kp_wh)),
+            gcfg.nms_iou)
+        vb = np.asarray(dets.boxes)[np.asarray(dets.valid)]
+        iou = box_iou(vb, gt) if len(vb) else np.zeros((0, len(gt)))
+        recalls.append((iou.max(0) >= 0.5).mean() if len(vb) else 0.0)
+        precisions.append((iou.max(1) >= 0.5).mean() if len(vb) else 1.0)
+    # measured at these seeds: recall [0.75, 1.0, 1.0, 0.92] mean 0.917
+    # (misses = sub-2-stride occluded slivers), precision 1.000; floors
+    # fail on ghost-pair (precision) or grouper/NMS (recall) regressions
+    assert float(np.mean(recalls)) > 0.80, recalls
+    assert float(np.mean(precisions)) > 0.85, precisions
+
+
 def test_tta_at_least_single_scale(trained):
     cfg, model, state, val = trained
     # flip-only TTA (scales=(1.0,)) keeps compile cost bounded while still
@@ -104,10 +167,16 @@ def test_tta_at_least_single_scale(trained):
     assert tta["AP50"] > 0.3, tta
     # broken flip un-mirroring would place every flip detection at a mirrored
     # ghost position: NMS can't merge them, so the detection count ~doubles
-    # (ratio -> 2.0) and AP collapses — both are asserted here (the exact-AP
-    # comparison is too noisy on an under-trained tiny model to gate on)
+    # (ratio -> 2.0) and AP collapses — both are asserted here
     assert n_tta <= 1.8 * max(n_single, 1), (n_tta, n_single)
-    assert tta["AP_coco"] >= single["AP_coco"] - 0.08, (tta, single)
+    assert tta["AP_coco"] >= single["AP_coco"] - 0.04, (tta, single)
+    # the round-2 TTA merge regression cost -0.03 DSB mAP (the FP-punishing
+    # protocol — ghosts from unmatched variants) while COCO AP moved little;
+    # gate DSB with a bound TIGHTER than that historical regression so the
+    # same class of bug cannot pass again (VERDICT r3 item 7)
+    tta_dsb = evaluate.evaluate_dsb2018(recs)["mAP_dsb2018"]
+    single_dsb = evaluate.evaluate_dsb2018(single_recs)["mAP_dsb2018"]
+    assert tta_dsb >= single_dsb - 0.02, (tta_dsb, single_dsb)
 
 
 def test_cli_roundtrip_self_describing_checkpoint(trained, tmp_path):

@@ -18,6 +18,7 @@ def _tiny(backbone):
 
 
 @pytest.mark.parametrize("backbone,nstacks", [("hourglass", 2),
+                                              ("hourglass_fast", 2),
                                               ("resnet_fpn", 1),
                                               ("unet", 1)])
 def test_forward_shapes(backbone, nstacks):
@@ -103,3 +104,26 @@ def test_inter_inject_prediction_feedback():
     paths0 = {jax.tree_util.keystr(p)
               for p, _ in jax.tree_util.tree_flatten_with_path(v0)[0]}
     assert not any("inject" in p for p in paths0)
+
+
+def test_hourglass_fast_drops_top_skip_params():
+    """hourglass_fast must be the same tree as hourglass minus the top-level
+    skip Residuals (the identity-skip variant exists to cut the two most
+    expensive convs per hourglass, not to change anything else)."""
+    x = jnp.zeros((1, 32, 32, 3))
+
+    def leaves(backbone):
+        m = KGNet(cfg=_tiny(backbone))
+        v = m.init(jax.random.PRNGKey(0), x, method=KGNet.init_all)
+        return {jax.tree_util.keystr(k): np.shape(val) for k, val in
+                jax.tree_util.tree_flatten_with_path(v["params"])[0]}
+
+    full, fast = leaves("hourglass"), leaves("hourglass_fast")
+    missing = set(full) - set(fast)
+    assert not set(fast) - set(full)                 # fast adds nothing
+    assert missing                                   # and removes something
+    # everything removed is a top-level (non-recursed) skip Residual:
+    # under HourglassModule_<i> but not under a nested HourglassModule_0
+    for k in missing:
+        tail = k.split("HourglassModule_", 2)[-1]
+        assert "HourglassModule_" not in tail, k
