@@ -57,7 +57,15 @@ def main() -> None:
         cfg = dataclasses.replace(
             cfg, model=dataclasses.replace(cfg.model, backbone=bb))
     state = create_train_state(cfg, jax.random.PRNGKey(0))
-    model = KGNet(cfg=cfg.model)
+    from kgtpu.infer import _maybe_fused
+    # same model-variant swap the shipping build_infer_fn applies (Pallas
+    # fused GroupNorm on TPU; identical params) — the bench measures the
+    # path users get.  KGTPU_BENCH_FUSED_NORM=off for the A/B.
+    import dataclasses as _dc
+    cfg = _dc.replace(cfg, infer=_dc.replace(
+        cfg.infer,
+        fused_norm=os.environ.get("KGTPU_BENCH_FUSED_NORM", "auto")))
+    model = _maybe_fused(KGNet(cfg=cfg.model), cfg)
 
     rng = np.random.default_rng(0)
     # raw uint8 pixels — the production input contract (device-side normalize)

@@ -221,6 +221,11 @@ class InferConfig:
                                        # the mask head's own foreground) —
                                        # SOLO/Mask-Scoring-style stage-2
                                        # confidence rescoring; 0 = off
+    fused_norm: str = "auto"           # "auto": swap flax GroupNorm for the
+                                       # Pallas fused GN(+ReLU) kernel on
+                                       # the single-chip TPU inference path
+                                       # (identical params; ops/pallas/
+                                       # groupnorm.py); "off": never
     batch_size: int = 1
     # whole-slide sliding-window tiling (BASELINE config 5)
     tile_size: int = 512
@@ -481,6 +486,9 @@ def build_test_parser() -> argparse.ArgumentParser:
     p.add_argument("--mask_rescore", type=float, default=0.0,
                    help="w>0 multiplies each detection score by maskness^w "
                         "(mean mask prob over the mask head's foreground)")
+    p.add_argument("--fused_norm", default="auto", choices=["auto", "off"],
+                   help="auto = use the Pallas fused GroupNorm kernel for "
+                        "single-chip TPU inference (same checkpoint params)")
     p.add_argument("--save_dir", default="results")
     p.add_argument("--coco_json", default="",
                    help="also write predictions as COCO results JSON "
@@ -598,6 +606,7 @@ def config_from_test_args(a: argparse.Namespace) -> Config:
                                   test_flip=a.test_flip,
                                   mask_chunk=a.mask_chunk,
                                   mask_rescore=a.mask_rescore,
+                                  fused_norm=a.fused_norm,
                                   tta_vote=a.tta_vote,
                                   tta_vote_thresh=a.tta_vote_thresh,
                                   input_size=a.input_size, save_dir=a.save_dir,

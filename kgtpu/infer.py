@@ -43,6 +43,20 @@ from kgtpu.ops.tiling import (
 )
 
 
+def _maybe_fused(model: KGNet, cfg: Config, mesh=None) -> KGNet:
+    """Swap flax GroupNorm for the Pallas fused GN(+ReLU) kernel on the
+    single-chip TPU inference path (InferConfig.fused_norm; the param tree
+    is identical, so the same checkpoint serves both).  Skipped under a
+    mesh — pallas_call has no SPMD partitioning rule, and the sharded path
+    must stay exactly partitionable (SURVEY.md §2.10)."""
+    import dataclasses
+    if (cfg.infer.fused_norm == "off" or mesh is not None
+            or model.cfg.norm != "group"
+            or jax.default_backend() != "tpu"):
+        return model
+    return KGNet(cfg=dataclasses.replace(model.cfg, norm="group_fused"))
+
+
 def _vars(params) -> dict:
     """Accept bare params (GroupNorm models) or full variables incl.
     batch_stats (BatchNorm models)."""
@@ -230,6 +244,8 @@ def build_infer_fn(model: KGNet, cfg: Config, mesh=None) -> Callable:
     Sharded outputs equal single-device outputs exactly (tested).
     """
 
+    model = _maybe_fused(model, cfg, mesh)
+
     def infer(params, images):
         images = normalize_images(images, cfg.data.mean, cfg.data.std)
         dets, feats = _detect_batch(model, cfg, params, images)
@@ -247,6 +263,7 @@ def build_infer_fn(model: KGNet, cfg: Config, mesh=None) -> Callable:
 def build_detect_fn(model: KGNet, cfg: Config) -> Callable:
     """Jitted detector-only path (used per TTA scale): images → Boxes
     (stride coords of THAT scale) stacked over the batch."""
+    model = _maybe_fused(model, cfg)
 
     @jax.jit
     def detect(params, images):
@@ -267,6 +284,7 @@ def build_multiscale_fn(model: KGNet, cfg: Config) -> Callable:
     base-scale stride coords, merged with cross-variant NMS on device, and
     the mask stage runs once on base-scale features.
     """
+    model = _maybe_fused(model, cfg)
     scales = cfg.infer.test_scales
     base = cfg.infer.input_size
 
@@ -364,6 +382,7 @@ def build_tiled_infer_fn(model: KGNet, cfg: Config,
     if cfg.group.method == "centernet" and not cfg.model.use_wh_head:
         raise ValueError(
             'group.method="centernet" needs model.use_wh_head=True')
+    model = _maybe_fused(model, cfg, mesh)
     h, w = image_hw
     ts, ov = cfg.infer.tile_size, cfg.infer.tile_overlap
     s = cfg.data.stride

@@ -5,7 +5,31 @@ from __future__ import annotations
 from typing import Callable
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
+
+
+class _FusedGroupNorm(nn.Module):
+    """Param-tree twin of nn.GroupNorm computed by the Pallas fused kernel
+    (kgtpu/ops/pallas/groupnorm.py).  Declares the same {scale, bias}
+    params under the same "GroupNorm_0" path, so checkpoints are freely
+    interchangeable between the flax (train) and fused (inference) paths.
+    """
+
+    num_groups: int
+    dtype: jnp.dtype = jnp.float32
+    relu: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        from kgtpu.ops.pallas.groupnorm import fused_group_norm
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones_init(), (c,),
+                           jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros_init(), (c,),
+                          jnp.float32)
+        return fused_group_norm(x.astype(self.dtype), scale, bias,
+                                self.num_groups, relu=self.relu)
 
 
 class Norm(nn.Module):
@@ -14,9 +38,16 @@ class Norm(nn.Module):
     "group": GroupNorm with the group count chosen per layer width (largest
     divisor of C ≤ max_groups, so thin stems stay valid).  Batch-statistics
     free — DP needs no sync-BN machinery (SURVEY.md §2.10).  Default.
+    "group_fused": same params/numerics, computed by the Pallas fused
+    GroupNorm(+ReLU) kernel when running on TPU and the per-sample block
+    fits VMEM; falls back to flax GroupNorm otherwise.  Selected by the
+    inference builder only — the kernel has no VJP (training keeps flax).
     "batch": real BatchNorm with running stats (reference-style).  Under a
     GSPMD-sharded batch the mean/var reductions span the sharded axis, so
     multi-chip training gets sync-BN semantics from the partitioner for free.
+
+    `relu=True` folds the trailing activation into the norm (fused into the
+    Pallas kernel on the fused path; XLA fuses it anyway on the others).
     """
 
     kind: str = "group"
@@ -24,16 +55,26 @@ class Norm(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
-        if self.kind == "group":
+    def __call__(self, x, train: bool = False, relu: bool = False):
+        if self.kind in ("group", "group_fused"):
             c = x.shape[-1]
             g = max(d for d in range(1, min(self.max_groups, c) + 1)
                     if c % d == 0)
-            return nn.GroupNorm(num_groups=g, dtype=self.dtype)(x)
-        if self.kind == "batch":
-            return nn.BatchNorm(use_running_average=not train,
-                                dtype=self.dtype)(x)
-        raise ValueError(f"unknown norm kind: {self.kind}")
+            if self.kind == "group_fused":
+                from kgtpu.ops.pallas.groupnorm import fits_fused
+                b, h, w, _ = x.shape
+                if jax.default_backend() == "tpu" and fits_fused(h, w, c):
+                    return _FusedGroupNorm(num_groups=g, dtype=self.dtype,
+                                           relu=relu,
+                                           name="GroupNorm_0")(x)
+            y = nn.GroupNorm(num_groups=g, dtype=self.dtype,
+                             name="GroupNorm_0")(x)
+        elif self.kind == "batch":
+            y = nn.BatchNorm(use_running_average=not train,
+                             dtype=self.dtype)(x)
+        else:
+            raise ValueError(f"unknown norm kind: {self.kind}")
+        return nn.relu(y) if relu else y
 
 
 class ConvBlock(nn.Module):
@@ -50,8 +91,7 @@ class ConvBlock(nn.Module):
         x = nn.Conv(self.features, (self.kernel, self.kernel),
                     strides=(self.stride, self.stride), padding="SAME",
                     use_bias=False, dtype=self.dtype)(x)
-        x = Norm(self.norm, dtype=self.dtype)(x, train)
-        return nn.relu(x)
+        return Norm(self.norm, dtype=self.dtype)(x, train, relu=True)
 
 
 class Residual(nn.Module):

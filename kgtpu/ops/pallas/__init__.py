@@ -5,8 +5,12 @@ Current kernels:
   gaussian.py — target-heatmap rendering with per-instance tile skipping
     (the XLA scan version is transcendental-bound; Gaussians are local, so
     >90% of its exp() work is on pixels a kernel can prove are ~0).
+  groupnorm.py — fused GroupNorm(+ReLU) for the inference path: stats and
+    normalize in one VMEM-resident pass (1R+1W of HBM vs XLA's ~2R+2W),
+    targeting the round-3 backbone roofline gap.
 """
 
 from kgtpu.ops.pallas.gaussian import render_heatmaps_pallas
+from kgtpu.ops.pallas.groupnorm import fused_group_norm
 
-__all__ = ["render_heatmaps_pallas"]
+__all__ = ["fused_group_norm", "render_heatmaps_pallas"]

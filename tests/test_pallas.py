@@ -47,3 +47,107 @@ def test_pallas_gaussian_tpu_parity():
     got = np.asarray(jax.jit(
         lambda k, s, v: render_heatmaps_pallas(k, s, v, h, w))(kpts, sizes, valid))
     np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# fused GroupNorm(+ReLU)
+
+
+def _gn_oracle(x, scale, bias, groups, relu, eps=1e-6):
+    """flax-parity NumPy oracle: stats in f32 over (H, W, C/G) per sample."""
+    b, h, w, c = x.shape
+    xf = np.asarray(x, np.float32).reshape(b, h * w, groups, c // groups)
+    mean = xf.mean(axis=(1, 3), keepdims=True)
+    var = xf.var(axis=(1, 3), keepdims=True)
+    y = (xf - mean) / np.sqrt(var + eps)
+    y = y.reshape(b, h, w, c) * np.asarray(scale) + np.asarray(bias)
+    if relu:
+        y = np.maximum(y, 0.0)
+    return y
+
+
+@pytest.mark.parametrize("relu", [False, True])
+@pytest.mark.parametrize("shape,groups", [((2, 16, 16, 128), 32),
+                                          ((1, 8, 8, 64), 32),
+                                          ((3, 4, 4, 128), 16)])
+def test_fused_group_norm_interpret_parity(shape, groups, relu):
+    from kgtpu.ops.pallas.groupnorm import fused_group_norm
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.normal(2.0, 3.0, size=shape).astype(np.float32))
+    scale = jnp.asarray(rng.normal(1.0, 0.2, size=shape[-1]).astype(np.float32))
+    bias = jnp.asarray(rng.normal(0.0, 0.5, size=shape[-1]).astype(np.float32))
+    got = np.asarray(fused_group_norm(x, scale, bias, groups, relu=relu,
+                                      interpret=True))
+    want = _gn_oracle(x, scale, bias, groups, relu)
+    np.testing.assert_allclose(got, want, atol=2e-4, rtol=2e-4)
+
+
+def test_fused_group_norm_interpret_parity_bf16():
+    from kgtpu.ops.pallas.groupnorm import fused_group_norm
+    rng = np.random.default_rng(11)
+    xf = rng.normal(0.0, 2.0, size=(2, 16, 16, 128)).astype(np.float32)
+    x = jnp.asarray(xf).astype(jnp.bfloat16)
+    scale = jnp.ones(128, jnp.float32)
+    bias = jnp.zeros(128, jnp.float32)
+    got = np.asarray(fused_group_norm(x, scale, bias, 32, relu=True,
+                                      interpret=True)).astype(np.float32)
+    want = _gn_oracle(np.asarray(x).astype(np.float32), scale, bias, 32, True)
+    assert got.dtype == np.float32 and x.dtype == jnp.bfloat16
+    np.testing.assert_allclose(got, want, atol=0.05, rtol=0.05)
+
+
+def test_fused_norm_module_falls_back_on_cpu():
+    """norm="group_fused" on a non-TPU backend must equal plain "group"
+    bit-for-bit (same flax path, same param tree)."""
+    import flax
+    from kgtpu.models.blocks import Norm
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(2, 16, 16, 128)).astype(np.float32))
+    plain = Norm("group")
+    fused = Norm("group_fused")
+    v1 = plain.init(jax.random.PRNGKey(0), x)
+    v2 = fused.init(jax.random.PRNGKey(0), x)
+    assert (jax.tree_util.tree_structure(v1)
+            == jax.tree_util.tree_structure(v2))
+    np.testing.assert_array_equal(
+        np.asarray(plain.apply(v1, x, relu=True)),
+        np.asarray(fused.apply(v1, x, relu=True)))
+
+
+def test_fused_norm_param_tree_matches_groupnorm():
+    """The fused module must accept a checkpoint trained with flax
+    GroupNorm unchanged: identical path GroupNorm_0/{scale,bias}."""
+    from kgtpu.models.blocks import Norm
+    x = jnp.zeros((1, 16, 16, 128), jnp.float32)
+    v = Norm("group").init(jax.random.PRNGKey(0), x)
+    leaves = {"/".join(p): l.shape for p, l in
+              flatten_params(v["params"]).items()}
+    assert leaves == {"GroupNorm_0/scale": (128,),
+                      "GroupNorm_0/bias": (128,)}
+
+
+def flatten_params(tree, prefix=()):
+    out = {}
+    for k, v in tree.items():
+        if isinstance(v, dict):
+            out.update(flatten_params(v, prefix + (k,)))
+        else:
+            out[prefix + (k,)] = v
+    return out
+
+
+@pytest.mark.tpu
+def test_fused_group_norm_tpu_parity():
+    from kgtpu.ops.pallas.groupnorm import fused_group_norm
+    import flax.linen as nn
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.normal(1.0, 2.0, size=(4, 128, 128, 128))
+                    .astype(np.float32)).astype(jnp.bfloat16)
+    scale = jnp.asarray(rng.normal(1.0, 0.2, size=128).astype(np.float32))
+    bias = jnp.asarray(rng.normal(0.0, 0.5, size=128).astype(np.float32))
+    gn = nn.GroupNorm(num_groups=32, dtype=jnp.bfloat16)
+    want = np.asarray(jax.jit(lambda x: nn.relu(gn.apply(
+        {"params": {"scale": scale, "bias": bias}}, x)))(x)).astype(np.float32)
+    got = np.asarray(jax.jit(lambda x: fused_group_norm(
+        x, scale, bias, 32, relu=True))(x)).astype(np.float32)
+    np.testing.assert_allclose(got, want, atol=0.05, rtol=0.05)
