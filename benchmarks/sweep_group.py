@@ -33,6 +33,9 @@ def main() -> None:
     p.add_argument("--conf", default="0.15,0.25,0.3,0.35")
     p.add_argument("--sp", default="1.5,2,3",
                    help="size_prune values (0 disables the wh gate)")
+    p.add_argument("--rescore", default="0",
+                   help="mask_rescore weights to sweep (0 = off; each value "
+                        "is one more re-jit per (conf, sp) point)")
     # model-config overrides — the architecture normally comes from the
     # self-describing checkpoint (C18); these apply only when explicitly
     # passed (or for pre-config legacy checkpoints, where they must match
@@ -87,11 +90,16 @@ def main() -> None:
     imgs = jnp.asarray(np.stack([s["image"] for s in samples]))
     model = KGNet(cfg=base.model)
 
-    for conf in (float(x) for x in args.conf.split(",")):
-        for sp in (float(x) for x in args.sp.split(",")):
+    grid = [(conf, sp, w)
+            for conf in (float(x) for x in args.conf.split(","))
+            for sp in (float(x) for x in args.sp.split(","))
+            for w in (float(x) for x in args.rescore.split(","))]
+    for conf, sp, w in grid:
             cfg = dataclasses.replace(
-                base, group=dataclasses.replace(
-                    base.group, score_thresh=conf, size_prune=sp))
+                base,
+                group=dataclasses.replace(
+                    base.group, score_thresh=conf, size_prune=sp),
+                infer=dataclasses.replace(base.infer, mask_rescore=w))
             infer = build_infer_fn(model, cfg)
             t0 = time.time()
             o = infer(params, imgs)
@@ -106,7 +114,8 @@ def main() -> None:
             rc = evaluate.evaluate_coco(recs)
             aji = evaluate.evaluate_aji(recs)["AJI"]
             pq = evaluate.evaluate_pq(recs)["PQ"]
-            print(f"conf={conf:.2f} sp={sp:g}: "
+            tag = f" rescore={w:g}" if w else ""
+            print(f"conf={conf:.2f} sp={sp:g}{tag}: "
                   f"mAP={r['mAP_dsb2018']:.3f} AP={rc['AP_coco']:.3f} "
                   f"AP50={rc['AP50']:.3f} AP75={rc['AP75']:.3f} "
                   f"AJI={aji:.3f} PQ={pq:.3f} "
