@@ -221,11 +221,18 @@ class InferConfig:
                                        # the mask head's own foreground) —
                                        # SOLO/Mask-Scoring-style stage-2
                                        # confidence rescoring; 0 = off
-    fused_norm: str = "auto"           # "auto": swap flax GroupNorm for the
+    fused_norm: str = "off"            # "auto": swap flax GroupNorm for the
                                        # Pallas fused GN(+ReLU) kernel on
                                        # the single-chip TPU inference path
                                        # (identical params; ops/pallas/
-                                       # groupnorm.py); "off": never
+                                       # groupnorm.py).  Default OFF: the
+                                       # kernel measured a consistent -17%
+                                       # e2e (525 vs 634 img/s, 2x2 A/B on
+                                       # the v5e) — the opaque Pallas call
+                                       # breaks XLA's conv/norm fusion and
+                                       # costs more than the saved HBM pass
+                                       # (documented negative result, see
+                                       # ops/pallas/groupnorm.py)
     batch_size: int = 1
     # whole-slide sliding-window tiling (BASELINE config 5)
     tile_size: int = 512
@@ -486,9 +493,11 @@ def build_test_parser() -> argparse.ArgumentParser:
     p.add_argument("--mask_rescore", type=float, default=0.0,
                    help="w>0 multiplies each detection score by maskness^w "
                         "(mean mask prob over the mask head's foreground)")
-    p.add_argument("--fused_norm", default="auto", choices=["auto", "off"],
+    p.add_argument("--fused_norm", default="off", choices=["auto", "off"],
                    help="auto = use the Pallas fused GroupNorm kernel for "
-                        "single-chip TPU inference (same checkpoint params)")
+                        "single-chip TPU inference (same checkpoint params; "
+                        "measured SLOWER e2e than XLA's own fusion — "
+                        "default off, see ops/pallas/groupnorm.py)")
     p.add_argument("--save_dir", default="results")
     p.add_argument("--coco_json", default="",
                    help="also write predictions as COCO results JSON "

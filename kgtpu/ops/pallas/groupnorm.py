@@ -27,6 +27,19 @@ Design notes (TPU-first):
 Numerics match flax nn.GroupNorm (stats in f32, output cast to the
 compute dtype) to bf16 resolution; parity is golden-tested against the
 flax oracle in interpret mode on CPU and for real in the tpu-marked test.
+
+MEASURED NEGATIVE RESULT (round 4) — ships default-OFF.  A 2x2 A/B of the
+full batch-32 512² e2e bench on the v5e (back-to-back runs, same session):
+fused 524.6 / 525.8 img/s vs flax GroupNorm 634.4 / 635.1 img/s — a
+consistent -17%.  The HBM model above is right about the norm in
+isolation, but wrong about the program: under XLA the conv's epilogue,
+the stats reduce, and the normalize already fuse into neighboring ops,
+while the Pallas call is an opaque boundary that forces the activation to
+materialize in HBM on BOTH sides and re-pipelines it through Mosaic's
+grid.  Same lesson as ops/tiling.py::_stitch_tiles_scatter: measure the
+whole program, not the stage.  Kept (a) as the documented negative
+result, (b) because `--fused_norm auto` remains a one-flag re-measure on
+future hardware/XLA versions where the fusion landscape may differ.
 """
 
 from __future__ import annotations
