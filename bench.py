@@ -120,9 +120,13 @@ def main() -> None:
     peak, _ = device_peak()
     mfu = (flops_img * img_s / peak) if (peak and flops_img) else None
 
+    # variant arms get suffixed metric names so collected bench logs can
+    # never conflate an A/B arm with the shipping-config number
+    suffix = f"_{bb}" if bb else ""
+    if cfg.infer.fused_norm != "off":
+        suffix += "_fusednorm"
     print(json.dumps({
-        "metric": ("e2e_images_per_sec_512" if not bb
-                   else f"e2e_images_per_sec_512_{bb}"),
+        "metric": "e2e_images_per_sec_512" + suffix,
         "value": round(img_s, 3),
         "unit": "img/s",
         "vs_baseline": round(vs, 3),

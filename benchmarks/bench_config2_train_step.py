@@ -43,7 +43,6 @@ def main():
     if k > 1:
         # the shipping scanned program (make_train_multi_step's body),
         # re-wrapped without donation so bench_fn can re-use its inputs
-        from kgtpu.data import stack_batches
         from kgtpu.train_lib import _train_step_body
 
         stacked = {k_: jax.device_put(np.stack([np.asarray(v)] * k))
@@ -74,7 +73,11 @@ def main():
     # fwd+bwd+update program vs the bf16 peak, and the HBM-bandwidth bound
     # (cost analysis from the SAME compiled program — no second XLA compile)
     r = bench_fn(fn, *args, iters=10, warmup=2, with_cost=True)
-    flops, nbytes = r["flops"] / k, r["bytes"] / k      # per optimizer step
+    # XLA's cost analysis counts a While (lax.scan) BODY ONCE regardless of
+    # trip count (verified on jax 0.9.0: 532,479 flops at k=1 vs 532,488 at
+    # k=8 for an identical scanned body), so the scanned program's reported
+    # flops/bytes already ARE ~one step's — do NOT divide by k
+    flops, nbytes = r["flops"], r["bytes"]              # per optimizer step
     peak_fl, peak_bw = device_peak()
     img_s = bs * k * r["calls_per_sec"]
     mfu = (flops / bs) * img_s / peak_fl if peak_fl else None

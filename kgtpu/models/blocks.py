@@ -63,7 +63,9 @@ class Norm(nn.Module):
             if self.kind == "group_fused":
                 from kgtpu.ops.pallas.groupnorm import fits_fused
                 b, h, w, _ = x.shape
-                if jax.default_backend() == "tpu" and fits_fused(h, w, c):
+                itemsize = jax.dtypes.canonicalize_dtype(self.dtype).itemsize
+                if (jax.default_backend() == "tpu"
+                        and fits_fused(h, w, c, itemsize=itemsize)):
                     return _FusedGroupNorm(num_groups=g, dtype=self.dtype,
                                            relu=relu,
                                            name="GroupNorm_0")(x)

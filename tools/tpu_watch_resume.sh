@@ -27,9 +27,12 @@ done_yet()  { [ -d "$SAVE_DIR/model_$FINAL" ]; }
 attempt=0
 while ! done_yet; do
   CMD=("$@")
-  # resume when any checkpoint already exists (also makes re-arming the
-  # watcher against a half-finished run idempotent)
-  if compgen -G "$SAVE_DIR/model_*" >/dev/null 2>&1; then
+  # resume when any FINALIZED checkpoint already exists (also makes
+  # re-arming the watcher against a half-finished run idempotent).  The
+  # glob must not match in-flight model_N.orbax-checkpoint-tmp-* dirs — a
+  # crash mid-first-write would otherwise --resume into "no checkpoints"
+  # and crash-loop instead of restarting fresh.
+  if ls "$SAVE_DIR" 2>/dev/null | grep -qE '^model_[0-9]+$'; then
     CMD+=(--resume)
   fi
   echo "$(date -Is) watcher: launch attempt $attempt: ${CMD[*]}" >>"$LOG"
