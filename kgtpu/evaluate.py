@@ -77,8 +77,12 @@ def greedy_tp_flags(iou: np.ndarray, scores: np.ndarray,
     are visited in score order (ties: lowest index, stable sort); each takes
     the highest-IoU still-unused GT with IoU >= t (ties: lowest GT index).
     One O(P) pass with [T, G] array work per step replaces the former
-    per-threshold O(P·G) Python loops (~50× on 128-detection images — the
-    sweep tools recompute four protocols per operating point)."""
+    per-threshold O(P·G) Python loops.  Measured: 3.5× on the matching
+    itself (0.85 s → 0.24 s per 200 128-det images; 0.08 s at the realistic
+    24-det load), which makes matching negligible in a full `--protocol
+    all` pass — the remaining host cost is AJI's per-image pixel
+    intersection (~13 ms/img), and a 200-image four-protocol eval is ~3.5 s
+    end-to-end on one core."""
     thresholds = np.asarray(thresholds, np.float64)
     T, (P, G) = len(thresholds), iou.shape
     flags = np.zeros((T, P), bool)
