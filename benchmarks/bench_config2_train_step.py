@@ -1,15 +1,24 @@
 #!/usr/bin/env python
 """BASELINE config 2: batch-8 train step (on-device gaussian targets +
-focal/offset/mask losses, full fwd/bwd) jitted on one chip.
+focal/offset/mask losses, full fwd/bwd + optimizer/EMA update) jitted on
+one chip.
+
+The benched program is `train_lib._train_step_body` — the SHIPPING step —
+returning (new_state, metrics) so bench_fn's output reduction keeps every
+computation alive.  ROUND-4 CORRECTION: earlier rounds benched
+`step(...)[1]` (metrics only, no grad_norm); XLA dead-code-eliminated the
+ENTIRE backward pass + optimizer update from that program (verified:
+85.7 GF metrics-only == forward-only vs 254.3 GF full step at 128²), so
+every previously published config-2 number was a forward-only
+measurement.  The round-3 train table in BASELINE.md is superseded by the
+round-4 one.
 
 KGTPU_BENCH_K > 1 benches the SCANNED k-steps-per-dispatch program
 (train_lib.make_train_multi_step's body) pipelined, reporting per-step
-device time with the host dispatch constant amortized k-fold.  This is
-the overhead-split instrument for the round-3 roofline's open question:
-batch 8 sat at 20-25% of its HBM bound with ~20 ms of fixed per-step
-overhead — comparing k=1 vs k=8 per-step ms against the HBM floor says
-how much of that overhead is the (tunnel) dispatch constant vs real
-unfused device work."""
+device time with the host dispatch constant amortized k-fold — the
+overhead-split instrument: comparing k=1 vs k=8 per-step ms against the
+HBM floor says how much of the fixed per-step overhead is the (tunnel)
+dispatch constant vs real unfused device work."""
 
 import os
 import sys
@@ -19,11 +28,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 import numpy as np
 
-from benchmarks.common import bench_fn, device_peak, emit
+from benchmarks.common import bench_fn, cost_analysis, device_peak, emit
 from kgtpu import train_lib
 from kgtpu.config import Config
 from kgtpu.data import build_dataset, make_batch
 from kgtpu.models import KGNet
+from kgtpu.train_lib import _train_step_body
 
 
 def main():
@@ -40,11 +50,12 @@ def main():
                        rng=nprng)
     batch = {k_: jax.device_put(v) for k_, v in batch.items()}
 
-    if k > 1:
-        # the shipping scanned program (make_train_multi_step's body),
-        # re-wrapped without donation so bench_fn can re-use its inputs
-        from kgtpu.train_lib import _train_step_body
+    # the shipping step, re-wrapped without donation (bench_fn re-uses its
+    # inputs across iterations); returning new_state keeps bwd+update live
+    def one_step(s, b, r_):
+        return _train_step_body(s, b, r_, model, cfg)
 
+    if k > 1:
         stacked = {k_: jax.device_put(np.stack([np.asarray(v)] * k))
                    for k_, v in batch.items()}
         offs = jax.device_put(np.arange(k, dtype=np.int32))
@@ -52,32 +63,28 @@ def main():
         def fn(s, b, r_, o):
             def body(st, xs):
                 bb, off = xs
-                return _train_step_body(st, bb, jax.random.fold_in(r_, off),
-                                        model, cfg)
-            _, ms = jax.lax.scan(body, s, (b, o), length=k)
-            return ms
+                return one_step(st, bb, jax.random.fold_in(r_, off))
+            return jax.lax.scan(body, s, (b, o), length=k)
 
         args = (state, stacked, rng, offs)
     else:
-        def step(state, batch, rng):
-            grad_fn = jax.value_and_grad(train_lib.loss_fn, has_aux=True)
-            (_, (metrics, _stats)), grads = grad_fn(state.params, batch, rng,
-                                                    model, cfg)
-            return state.apply_gradients(grads=grads), metrics
-
-        # bench the step without donation (bench_fn re-uses inputs)
-        fn = lambda s, b, r_: step(s, b, r_)[1]
-        args = (state, batch, rng)
+        fn, args = one_step, (state, batch, rng)
 
     # train MFU / roofline position (VERDICT r2 item 3): FLOPs of the exact
     # fwd+bwd+update program vs the bf16 peak, and the HBM-bandwidth bound
     # (cost analysis from the SAME compiled program — no second XLA compile)
     r = bench_fn(fn, *args, iters=10, warmup=2, with_cost=True)
-    # XLA's cost analysis counts a While (lax.scan) BODY ONCE regardless of
-    # trip count (verified on jax 0.9.0: 532,479 flops at k=1 vs 532,488 at
-    # k=8 for an identical scanned body), so the scanned program's reported
-    # flops/bytes already ARE ~one step's — do NOT divide by k
     flops, nbytes = r["flops"], r["bytes"]              # per optimizer step
+    if k > 1:
+        # XLA's cost analysis of a While (lax.scan) program does NOT scale
+        # its body by the trip count consistently (measured on this stack:
+        # the k=8 scanned step reported ~3x ONE step's flops — neither 1x
+        # nor 8x), so flops/bytes for the scanned program are taken from a
+        # freshly-lowered SINGLE-step program instead: the scan body is the
+        # identical per-step update (equality-tested in tests/test_train.py),
+        # only the timing comes from the scanned program.  The extra lower()
+        # is cost-analysis only — it is never executed or timed.
+        flops, nbytes = cost_analysis(one_step, state, batch, rng)
     peak_fl, peak_bw = device_peak()
     img_s = bs * k * r["calls_per_sec"]
     mfu = (flops / bs) * img_s / peak_fl if peak_fl else None

@@ -101,14 +101,17 @@ def main():
     tbatch = {k: jax.device_put(v) for k, v in tbatch.items()}
     key = jax.random.PRNGKey(0)
 
-    def tstep(state, batch, key):
-        grad_fn = jax.value_and_grad(train_lib.loss_fn, has_aux=True)
-        (_, (metrics, _s)), grads = grad_fn(state.params, batch, key,
-                                            model, cfg)
-        return state.apply_gradients(grads=grads), metrics
+    # the SHIPPING step, returning (new_state, metrics) so bench_fn's output
+    # reduction keeps bwd + optimizer/EMA alive — a metrics-only return lets
+    # XLA dead-code-eliminate the entire backward pass (the round-4 config-2
+    # correction; see bench_config2_train_step.py)
+    from kgtpu.train_lib import _train_step_body
 
-    fn = lambda s, b, k: tstep(s, b, k)[1]
-    r = bench_fn(fn, state, tbatch, key, iters=10, warmup=2, with_cost=True)
+    def tstep(state, batch, key):
+        return _train_step_body(state, batch, key, model, cfg)
+
+    r = bench_fn(tstep, state, tbatch, key, iters=10, warmup=2,
+                 with_cost=True)
     fl, by = r["flops"], r["bytes"]
     rows.append(("train:step(fwd+bwd+update)",
                  1000 * r["sec_per_call"], fl, by))
