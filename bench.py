@@ -121,9 +121,11 @@ def main() -> None:
     mfu = (flops_img * img_s / peak) if (peak and flops_img) else None
 
     # variant arms get suffixed metric names so collected bench logs can
-    # never conflate an A/B arm with the shipping-config number
+    # never conflate an A/B arm with the shipping-config number; the fused
+    # suffix keys off the model that actually ran (_maybe_fused silently
+    # falls back off-TPU / non-group norms), not the requested flag
     suffix = f"_{bb}" if bb else ""
-    if cfg.infer.fused_norm != "off":
+    if model.cfg.norm == "group_fused":
         suffix += "_fusednorm"
     print(json.dumps({
         "metric": "e2e_images_per_sec_512" + suffix,

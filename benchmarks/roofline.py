@@ -29,7 +29,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from benchmarks.common import bench_fn, device_peak, emit, pin_valid_dets
-from kgtpu import train_lib
 from kgtpu.config import Config
 from kgtpu.data import build_dataset, make_batch
 from kgtpu.infer import _detect_batch, _mask_batch, _mask_probs, _vars
@@ -115,6 +114,29 @@ def main():
     fl, by = r["flops"], r["bytes"]
     rows.append(("train:step(fwd+bwd+update)",
                  1000 * r["sec_per_call"], fl, by))
+
+    # Per-backbone backbone+heads rows (VERDICT r4 item 4): one roofline
+    # data point per architecture so the "small-activation HBM starvation"
+    # claim is testable with three arms instead of one.  Skippable
+    # (KGTPU_ROOFLINE_BACKBONES=) since each arm costs a fresh compile.
+    arms = os.environ.get("KGTPU_ROOFLINE_BACKBONES",
+                          "hourglass,hourglass_fast,unet")
+    import dataclasses
+    for bb in [a for a in arms.split(",") if a]:
+        bcfg = dataclasses.replace(
+            cfg, model=dataclasses.replace(cfg.model, backbone=bb))
+        bstate = create_train_state(bcfg, jax.random.PRNGKey(0))
+        bmodel = KGNet(cfg=bcfg.model)
+
+        def bfwd(params, imgs, _m=bmodel):
+            x = normalize_images(imgs, cfg.data.mean, cfg.data.std)
+            out = _m.apply(_vars(params), x)
+            return out["stacks"][-1]["hm"], out["feat"]
+
+        r = bench_fn(bfwd, bstate.params, images, iters=10, warmup=2,
+                     with_cost=True)
+        rows.append((f"infer:backbone_heads[{bb}]",
+                     1000 * r["sec_per_call"], r["flops"], r["bytes"]))
 
     for name, ms, fl, by in rows:
         comp_ms = 1000 * fl / peak_fl if peak_fl else None

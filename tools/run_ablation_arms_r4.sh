@@ -31,7 +31,8 @@ run_arm() {
   python benchmarks/sweep_group.py --weights "$dir/model_$FINAL" \
       --dataset synthetic_hard --use_ema 1 \
       --conf 0.3,0.35 --sp 1.2,1.5 >"$dir/sweep_group.log" 2>&1
-  echo "[$(date -Is)] arm $name: sweep rc=$? done"
+  local rc=$?
+  echo "[$(date -Is)] arm $name: sweep rc=$rc done"
 }
 
 run_arm abl4_base
