@@ -40,6 +40,13 @@ def main():
     bs = int(os.environ.get("KGTPU_BENCH_BATCH", "8"))
     k = int(os.environ.get("KGTPU_BENCH_K", "1"))
     cfg = Config()
+    # A/B hook for the gaussian target renderer (scan vs pallas) — suffixes
+    # the metric name so logs can't conflate the arms
+    renderer = os.environ.get("KGTPU_BENCH_RENDERER", "scan")
+    if renderer != "scan":
+        import dataclasses
+        cfg = dataclasses.replace(cfg, train=dataclasses.replace(
+            cfg.train, target_renderer=renderer))
     rng = jax.random.PRNGKey(0)
     state = train_lib.create_train_state(cfg, rng)
     model = KGNet(cfg=cfg.model)
@@ -91,7 +98,8 @@ def main():
     # time the program would take if purely HBM-bound at spec bandwidth
     bw_bound_ms = 1000 * nbytes / peak_bw if peak_bw else None
     emit({"metric": f"config2_train_step_batch{bs}_img_per_sec"
-                    + (f"_k{k}" if k > 1 else ""),
+                    + (f"_k{k}" if k > 1 else "")
+                    + (f"_{renderer}" if renderer != "scan" else ""),
           "value": round(img_s, 2), "unit": "img/s",
           "ms_per_step": round(1000 * r["sec_per_call"] / k, 1),
           "gflops_per_img": round(flops / bs / 1e9, 2),

@@ -150,6 +150,11 @@ class TrainConfig:
     w_offset: float = 1.0
     w_wh: float = 0.1
     w_mask: float = 1.0
+    # gaussian target renderer: "scan" = XLA instance-chunk scan (default),
+    # "pallas" = row-tiled TPU kernel that skips out-of-reach instances
+    # (ops/pallas/gaussian.py; parity-tested; forced back to "scan" under a
+    # mesh — pallas_call has no SPMD partitioning rule)
+    target_renderer: str = "scan"
     mask_train_rois: int = 16   # instances per image fed to the mask head
     roi_jitter: float = 0.1     # train-time box jitter, fraction of box size
     focal_alpha: float = 2.0           # CornerNet penalty-reduced focal exponents
@@ -449,6 +454,12 @@ def build_train_parser() -> argparse.ArgumentParser:
                    help="train steps scanned inside one jitted dispatch "
                         "(same update sequence; amortizes per-dispatch host "
                         "latency — use 8-32 on high-RTT links)")
+    p.add_argument("--target_renderer", default="scan",
+                   choices=["scan", "pallas"],
+                   help="gaussian heatmap-target renderer inside the train "
+                        "step: XLA scan (default) or the row-tiled Pallas "
+                        "kernel (single-chip only; forced to scan under a "
+                        "mesh)")
     # multi-host (multi-controller) data parallelism: run the same command
     # on every host with a shared --coordinator and distinct --host_id
     p.add_argument("--coordinator", default="",
@@ -574,7 +585,8 @@ def config_from_train_args(a: argparse.Namespace) -> Config:
                                   ema_decay=a.ema_decay,
                                   rss_limit_gb=a.rss_limit_gb,
                                   steps_per_dispatch=max(
-                                      a.steps_per_dispatch, 1)),
+                                      a.steps_per_dispatch, 1),
+                                  target_renderer=a.target_renderer),
         infer=c.infer,
     )
 

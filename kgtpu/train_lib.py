@@ -111,8 +111,18 @@ def loss_fn(params, batch: dict, rng: jax.Array, model: KGNet, cfg: Config,
     sizes = jnp.stack([boxes_st[..., 3] - boxes_st[..., 1],
                        boxes_st[..., 2] - boxes_st[..., 0]], axis=-1)
 
-    hm_t = jax.lax.stop_gradient(
-        targets_ops.render_heatmaps_batch(kpts, sizes, valid, hs, ws))
+    if tcfg.target_renderer == "pallas":
+        # row-tiled TPU kernel that skips instances out of splat reach
+        # (ops/pallas/gaussian.py); interpret mode keeps CPU tests runnable.
+        # make_train_step forces this back to "scan" under a mesh.
+        from kgtpu.ops.pallas.gaussian import render_heatmaps_pallas
+        interp = jax.default_backend() != "tpu"
+        hm_t = jax.vmap(lambda k, sz, v: render_heatmaps_pallas(
+            k, sz, v, hs, ws, interpret=interp))(kpts, sizes, valid)
+        hm_t = jax.lax.stop_gradient(hm_t)
+    else:
+        hm_t = jax.lax.stop_gradient(
+            targets_ops.render_heatmaps_batch(kpts, sizes, valid, hs, ws))
 
     use_bn = batch_stats is not None
     variables = {"params": params}
@@ -220,12 +230,24 @@ def _train_step_body(state: TrainState, batch: dict, rng: jax.Array,
     return new_state, metrics
 
 
+def _mesh_safe(cfg: Config, mesh) -> Config:
+    """Force the scan target renderer under a mesh: pallas_call has no SPMD
+    partitioning rule, and the sharded step must stay exactly partitionable
+    (same policy as infer._maybe_fused)."""
+    import dataclasses
+    if mesh is not None and cfg.train.target_renderer != "scan":
+        cfg = dataclasses.replace(
+            cfg, train=dataclasses.replace(cfg.train, target_renderer="scan"))
+    return cfg
+
+
 def make_train_step(model: KGNet, cfg: Config, mesh=None) -> Callable:
     """Build the jitted train step.
 
     With a mesh, the batch is expected sharded on axis 0 ("data") and the
     state replicated; jit emits the cross-chip gradient all-reduce.
     """
+    cfg = _mesh_safe(cfg, mesh)
 
     def step(state: TrainState, batch: dict, rng: jax.Array):
         return _train_step_body(state, batch, rng, model, cfg)
@@ -265,6 +287,7 @@ def make_train_multi_step(model: KGNet, cfg: Config, n_steps: int,
     uint8 pixels + geometry only (targets render on device, DESIGN rule 4),
     so k=8 at batch 8×512² is ~60 MB.
     """
+    cfg = _mesh_safe(cfg, mesh)
 
     def multi(state: TrainState, batches: dict, rng: jax.Array,
               offsets: jnp.ndarray):

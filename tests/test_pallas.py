@@ -39,6 +39,48 @@ def test_pallas_gaussian_interpret_empty():
     assert got.max() == 0.0
 
 
+def test_target_renderer_flag_loss_parity():
+    """cfg.train.target_renderer='pallas' yields the same loss + metrics as
+    the scan renderer (interpret mode on CPU) — the flag swaps renderers,
+    nothing else."""
+    import dataclasses
+
+    from kgtpu import train_lib
+    from kgtpu.config import tiny_test_config
+    from kgtpu.data import build_dataset, make_batch
+    from kgtpu.models import KGNet
+
+    cfg = tiny_test_config()
+    state = train_lib.create_train_state(cfg, jax.random.PRNGKey(0))
+    model = KGNet(cfg=cfg.model)
+    ds = build_dataset(cfg.data)
+    batch = make_batch(ds, [0, 1], cfg.data, augment=False,
+                       rng=np.random.default_rng(0))
+    rng = jax.random.PRNGKey(7)
+
+    losses = {}
+    for renderer in ("scan", "pallas"):
+        rcfg = dataclasses.replace(cfg, train=dataclasses.replace(
+            cfg.train, target_renderer=renderer))
+        loss, _ = train_lib.loss_fn(state.params, batch, rng, model, rcfg,
+                                    state.batch_stats)
+        losses[renderer] = float(loss)
+    np.testing.assert_allclose(losses["pallas"], losses["scan"], rtol=1e-5)
+
+
+def test_mesh_forces_scan_renderer():
+    import dataclasses
+
+    from kgtpu.config import tiny_test_config
+    from kgtpu.train_lib import _mesh_safe
+
+    cfg = tiny_test_config()
+    pcfg = dataclasses.replace(cfg, train=dataclasses.replace(
+        cfg.train, target_renderer="pallas"))
+    assert _mesh_safe(pcfg, None).train.target_renderer == "pallas"
+    assert _mesh_safe(pcfg, object()).train.target_renderer == "scan"
+
+
 @pytest.mark.tpu
 def test_pallas_gaussian_tpu_parity():
     kpts, sizes, valid, h, w = _scene(seed=3, n=128, n_valid=100)
