@@ -47,6 +47,13 @@ def main():
         import dataclasses
         cfg = dataclasses.replace(cfg, train=dataclasses.replace(
             cfg.train, target_renderer=renderer))
+    # A/B hook for activation rematerialization (--remat): fewer HBM bytes
+    # for more FLOPs — the right trade iff the step is HBM-bound
+    remat = os.environ.get("KGTPU_BENCH_REMAT", "0") == "1"
+    if remat:
+        import dataclasses
+        cfg = dataclasses.replace(cfg, model=dataclasses.replace(
+            cfg.model, remat=True))
     rng = jax.random.PRNGKey(0)
     state = train_lib.create_train_state(cfg, rng)
     model = KGNet(cfg=cfg.model)
@@ -99,7 +106,8 @@ def main():
     bw_bound_ms = 1000 * nbytes / peak_bw if peak_bw else None
     emit({"metric": f"config2_train_step_batch{bs}_img_per_sec"
                     + (f"_k{k}" if k > 1 else "")
-                    + (f"_{renderer}" if renderer != "scan" else ""),
+                    + (f"_{renderer}" if renderer != "scan" else "")
+                    + ("_remat" if remat else ""),
           "value": round(img_s, 2), "unit": "img/s",
           "ms_per_step": round(1000 * r["sec_per_call"] / k, 1),
           "gflops_per_img": round(flops / bs / 1e9, 2),
