@@ -423,8 +423,11 @@ def build_train_parser() -> argparse.ArgumentParser:
                         "joint affine augmentation")
     p.add_argument("--ema_decay", type=float, default=0.0)
     p.add_argument("--remat", action="store_true",
-                   help="rematerialize hourglass activations (less HBM, "
-                        "more FLOPs -> bigger batches)")
+                   help="rematerialize hourglass activations (less HBM "
+                        "capacity, more FLOPs -> bigger batches). Measured "
+                        "round 5: -4.7..-8%% img/s at batches 8-32 where "
+                        "nothing is capacity-bound (BASELINE.md) — use only "
+                        "when batch/model size is memory-limited")
     p.add_argument("--lr", type=float, default=2.5e-4)
     p.add_argument("--lr_schedule", default="constant",
                    choices=["constant", "cosine"])
@@ -459,7 +462,9 @@ def build_train_parser() -> argparse.ArgumentParser:
                    help="gaussian heatmap-target renderer inside the train "
                         "step: XLA scan (default) or the row-tiled Pallas "
                         "kernel (single-chip only; forced to scan under a "
-                        "mesh)")
+                        "mesh). Measured round 5: pallas ties scan at "
+                        "--steps_per_dispatch 8 and loses 14%% at k=1 "
+                        "(BASELINE.md) — kept for re-measurement elsewhere")
     # multi-host (multi-controller) data parallelism: run the same command
     # on every host with a shared --coordinator and distinct --host_id
     p.add_argument("--coordinator", default="",
