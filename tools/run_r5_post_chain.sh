@@ -34,11 +34,13 @@ KGTPU_BENCH_BATCH=8 KGTPU_BENCH_K=1 KGTPU_BENCH_REMAT=1 \
   >>"$OUT" 2>/tmp/r5_post_remat.err
 echo "[$(date -Is)] post: remat rc=$?"
 
-for b in 48 64; do
-  echo "[$(date -Is)] post: inference batch $b"
-  KGTPU_BENCH_BATCH=$b timeout 1800 python bench.py \
-    >>benchmarks/results/infer_batch_r5.jsonl 2>/tmp/r5_post_b$b.err
-  echo "[$(date -Is)] post: batch $b rc=$?"
+for bb in hourglass unet; do
+  for b in 48 64; do
+    echo "[$(date -Is)] post: inference batch $b backbone $bb"
+    KGTPU_BENCH_BATCH=$b KGTPU_BENCH_BACKBONE=$bb timeout 1800 python bench.py \
+      >>benchmarks/results/infer_batch_r5.jsonl 2>/tmp/r5_post_b${b}_$bb.err
+    echo "[$(date -Is)] post: batch $b $bb rc=$?"
+  done
 done
 
 echo "[$(date -Is)] post: bench.py default sanity"
