@@ -274,17 +274,30 @@ def build_detect_fn(model: KGNet, cfg: Config) -> Callable:
     return detect
 
 
-def build_multiscale_fn(model: KGNet, cfg: Config) -> Callable:
-    """Multi-scale (and flip) TTA, batched on device.  [SURVEY.md C16 / §3.3;
-    BASELINE config 4 "batched on-device"]
+def build_ensemble_fn(models: list[KGNet], cfg: Config,
+                      mask_member: int = 0) -> Callable:
+    """Multi-checkpoint ensemble inference, optionally × multi-scale/flip
+    TTA.  [extends SURVEY.md C16's cross-variant merge across *models*; the
+    reference has no ensemble mode — round-5 quality experiment]
 
-    Returns fn(params, {scale: images_at_scale}) where each value is
-    [B, side, side, 3] with side = round(scale * input_size) (B may be 1);
-    per image, detections from every scale/flip variant are mapped to
-    base-scale stride coords, merged with cross-variant NMS on device, and
-    the mask stage runs once on base-scale features.
+    Every (member, scale, flip) variant contributes detections in
+    base-scale stride coords to ONE cross-variant merge (`merge_scales`,
+    identical vote semantics to TTA: with `tta_vote="mean"` a detection's
+    score is its mean best-match score over ALL variants, so cross-model
+    agreement is rewarded exactly like cross-scale agreement, and
+    single-model ghosts are punished).  The mask stage then runs once on
+    `models[mask_member]`'s base-scale features — pick the best mask
+    producer there.
+
+    Returns fn(params_list, images_by_scale): params_list[i] belongs to
+    models[i]; images_by_scale follows the build_multiscale_fn contract,
+    shared by all members (sides must divide every member's
+    required_divisor — `benchmarks/sweep_ensemble.py` rounds to the max).
+    `cfg.model` must be the mask member's ModelConfig: the stage-2 crop
+    geometry comes from cfg.model.roi_size/mask_size (same contract as
+    build_infer_fn).
     """
-    model = _maybe_fused(model, cfg)
+    models = [_maybe_fused(m, cfg) for m in models]
     scales = cfg.infer.test_scales
     base = cfg.infer.input_size
 
@@ -302,7 +315,7 @@ def build_multiscale_fn(model: KGNet, cfg: Config) -> Callable:
                 max_box_size=cfg.group.max_box_size * img_side / base))
 
     @jax.jit
-    def infer_ms(params, images_by_scale: dict):
+    def infer_ens(params_list, images_by_scale: dict):
         some = next(iter(images_by_scale.values()))
         single = some.ndim == 3                  # single image, no batch axis
         if single:
@@ -314,26 +327,28 @@ def build_multiscale_fn(model: KGNet, cfg: Config) -> Callable:
             img = normalize_images(images_by_scale[f"{sc:g}"],
                                    cfg.data.mean, cfg.data.std)
             cfg_sc = _cfg_at(img.shape[1])
-            dets, feat = _detect_batch(model, cfg_sc, params, img)
-            if sc == 1.0:
-                base_feat = feat
             # map boxes from this scale's stride grid to base-scale stride grid
             factor = base / float(img.shape[1])
-            all_dets.append(Boxes(boxes=dets.boxes * factor,
-                                  scores=dets.scores, valid=dets.valid))
-            if cfg.infer.test_flip:
-                # horizontal-flip TTA at this scale: detect on the mirrored
-                # batch, un-mirror the boxes (x' = W_stride - x, swapped)
-                fdets, _ = _detect_batch(model, cfg_sc, params,
-                                         img[:, :, ::-1])
-                ws = img.shape[2] / cfg.data.stride
-                fb = fdets.boxes
-                unflipped = jnp.stack(
-                    [ws - fb[..., 2], fb[..., 1], ws - fb[..., 0],
-                     fb[..., 3]], axis=-1)
-                all_dets.append(Boxes(boxes=unflipped * factor,
-                                      scores=fdets.scores,
-                                      valid=fdets.valid))
+            for mi, member in enumerate(models):
+                dets, feat = _detect_batch(member, cfg_sc, params_list[mi],
+                                           img)
+                if sc == 1.0 and mi == mask_member:
+                    base_feat = feat
+                all_dets.append(Boxes(boxes=dets.boxes * factor,
+                                      scores=dets.scores, valid=dets.valid))
+                if cfg.infer.test_flip:
+                    # horizontal-flip TTA at this scale: detect on the
+                    # mirrored batch, un-mirror the boxes (x' = W - x, swapped)
+                    fdets, _ = _detect_batch(member, cfg_sc, params_list[mi],
+                                             img[:, :, ::-1])
+                    ws = img.shape[2] / cfg.data.stride
+                    fb = fdets.boxes
+                    unflipped = jnp.stack(
+                        [ws - fb[..., 2], fb[..., 1], ws - fb[..., 0],
+                         fb[..., 3]], axis=-1)
+                    all_dets.append(Boxes(boxes=unflipped * factor,
+                                          scores=fdets.scores,
+                                          valid=fdets.valid))
         assert base_feat is not None, "test_scales must include 1.0"
 
         # cross-variant merge per image (pure op → vmapped over the batch)
@@ -354,11 +369,35 @@ def build_multiscale_fn(model: KGNet, cfg: Config) -> Callable:
         # that — gate at the looser of the two acceptance thresholds
         gate = (min(cfg.group.score_thresh, cfg.infer.tta_vote_thresh)
                 if cfg.infer.tta_vote == "mean" else None)
-        out = _mask_batch(model, cfg, params, base_feat, merged, base, base,
-                          rescore_gate=gate)
+        out = _mask_batch(models[mask_member], cfg,
+                          params_list[mask_member], base_feat, merged,
+                          base, base, rescore_gate=gate)
         if single:
             out = jax.tree.map(lambda x: x[0], out)
         return out
+
+    return infer_ens
+
+
+def build_multiscale_fn(model: KGNet, cfg: Config) -> Callable:
+    """Multi-scale (and flip) TTA, batched on device.  [SURVEY.md C16 / §3.3;
+    BASELINE config 4 "batched on-device"]
+
+    Returns fn(params, {scale: images_at_scale}) where each value is
+    [B, side, side, 3] with side = round(scale * input_size) (B may be 1);
+    per image, detections from every scale/flip variant are mapped to
+    base-scale stride coords, merged with cross-variant NMS on device, and
+    the mask stage runs once on base-scale features.
+
+    Implemented as the one-member case of `build_ensemble_fn` (for one
+    member the variant pool and merge are element-for-element what this
+    function built standalone through round 4; the TTA quality gates in
+    tests/test_e2e.py and the merge test in tests/test_infer.py pin it).
+    """
+    ens = build_ensemble_fn([model], cfg, mask_member=0)
+
+    def infer_ms(params, images_by_scale: dict):
+        return ens([params], images_by_scale)
 
     return infer_ms
 
