@@ -481,8 +481,17 @@ def build_test_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser("test.py", description="Run KG inference (TPU)")
     _add_common(p)
     p.add_argument("--weights", default="", help="checkpoint file/dir to load")
+    p.add_argument("--ensemble", default="",
+                   help="comma-separated EXTRA self-describing checkpoint "
+                        "dirs whose detections are merged with --weights "
+                        "via the TTA agreement vote (cross-model agreement "
+                        "is scored like cross-scale agreement; the "
+                        "--weights model runs the mask stage). Composes "
+                        "with --test_scales/--test_flip; exclusive with "
+                        "--tiled and --ngpus")
     p.add_argument("--use_ema", action="store_true",
-                   help="load EMA params from the checkpoint when present")
+                   help="load EMA params from the checkpoint when present "
+                        "(applies to --ensemble members too)")
     p.add_argument("--batch_size", type=int, default=8,
                    help="inference batch (single-scale path)")
     p.add_argument("--save_vis", action="store_true",

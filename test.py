@@ -80,7 +80,27 @@ def main() -> None:
     else:
         params = None
 
-    divisor = required_divisor(cfg.model)
+    # --ensemble: extra members merged with the primary via the TTA
+    # agreement vote (build_ensemble_fn).  Each member rebuilds from its
+    # own stored Config — no CLI overrides apply to members, only to the
+    # primary (which also runs the mask stage).
+    members = []
+    for w in [x for x in getattr(args, "ensemble", "").split(",") if x]:
+        if not cfg.infer.weights:
+            raise SystemExit("--ensemble needs --weights (the mask member)")
+        if tiled:
+            raise SystemExit("--ensemble and --tiled are exclusive")
+        eparams, eextra = checkpoint.restore_bundle(
+            w, use_ema=getattr(args, "use_ema", False))
+        estored = checkpoint.decode_config(eextra)
+        if estored is None:
+            raise SystemExit(f"--ensemble member {w} has no self-describing "
+                             "config; re-save it with this repo's train.py")
+        members.append((KGNet(cfg=estored.model), eparams))
+        log.info("ensemble member %s: backbone=%s", w, estored.model.backbone)
+
+    divisor = max([required_divisor(cfg.model)]
+                  + [required_divisor(m.cfg) for m, _ in members])
     # in tiled mode the network sees tile_size² tiles; only that side must
     # be divisible (the slide canvas itself has no constraint)
     side_checked = cfg.infer.tile_size if tiled else cfg.infer.input_size
@@ -161,6 +181,16 @@ def main() -> None:
         infer = build_tiled_infer_fn(
             model, cfg, (cfg.infer.input_size, cfg.infer.input_size),
             mesh=mesh)
+    elif members:
+        if mesh is not None:
+            raise SystemExit("--ngpus and --ensemble are exclusive")
+        from kgtpu.infer import build_ensemble_fn
+        ens = build_ensemble_fn([model] + [m for m, _ in members], cfg,
+                                mask_member=0)
+        all_params = [params] + [p_ for _, p_ in members]
+        # the data loop passes the primary params; the ensemble fn needs
+        # every member's — close over the full list
+        infer = lambda _p, imgs: ens(all_params, imgs)  # noqa: E731
     elif multiscale:
         infer = build_multiscale_fn(model, cfg)
         if mesh is not None:
@@ -231,8 +261,8 @@ def main() -> None:
             if i % 5 == 0:
                 log.info("%d/%d (%.2f slides/s)", i + 1, len(ds),
                          (i + 1) / max(time.time() - t0, 1e-6))
-    elif multiscale:
-        # batched TTA: per-scale image stacks, last chunk padded
+    elif multiscale or members:
+        # batched TTA / ensemble: per-scale image stacks, last chunk padded
         bs = max(cfg.infer.batch_size, 1)
         done = 0
         for start in range(0, len(ds), bs):
@@ -291,7 +321,10 @@ def main() -> None:
 
     with open(os.path.join(cfg.infer.save_dir, "detections.json"), "w") as f:
         json.dump({"images": summary, "input_size": base,
-                   "test_scales": list(scales)}, f)
+                   "test_scales": list(scales),
+                   "ensemble": [x for x in
+                                getattr(args, "ensemble", "").split(",")
+                                if x]}, f)
     if coco_records is not None:
         from kgtpu.coco_export import write_coco_json
         n = write_coco_json(args.coco_json, coco_records)

@@ -241,6 +241,67 @@ def test_cli_roundtrip_self_describing_checkpoint(trained, tmp_path):
     assert abs(cli["AP50"] - mem["AP50"]) < 1e-6, (cli, mem)
 
 
+def test_cli_ensemble_duplicate_member(trained, tmp_path):
+    """`test.py --ensemble` end to end: the CLI restores extra members from
+    their self-describing checkpoints, merges through build_ensemble_fn,
+    and writes the standard outputs.  With the primary duplicated as the
+    only extra member the run must reproduce the in-memory ensemble of
+    [model, model] exactly (test.py↔eval.py slot contract); by the
+    duplicated-member no-op invariant (tests/test_ensemble.py) that is
+    also the agreement-voted single-model result."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    from kgtpu import checkpoint, evaluate
+    from kgtpu.data import build_dataset
+    from kgtpu.infer import build_ensemble_fn
+
+    cfg, model, state, val = trained
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    wdir = str(tmp_path / "weights")
+    checkpoint.save(wdir, epoch=0, state=state,
+                    extra={"config_json": checkpoint.encode_config(cfg)})
+
+    out_dir = str(tmp_path / "results")
+    env = {**os.environ, "KGTPU_PLATFORM": "cpu"}
+    r = subprocess.run(
+        [sys.executable, os.path.join(root, "test.py"),
+         "--dataset", "synthetic", "--weights", wdir, "--ensemble", wdir,
+         "--input_size", str(SIZE), "--save_dir", out_dir,
+         "--K", "32", "--max_detections", "32", "--batch_size", "4",
+         "--tta_vote", "mean", "--tta_vote_thresh", "0.1"],
+        env=env, capture_output=True, text=True, timeout=900)
+    assert r.returncode == 0, r.stderr[-2000:]
+
+    r = subprocess.run(
+        [sys.executable, os.path.join(root, "eval.py"),
+         "--pred_dir", out_dir, "--dataset", "synthetic",
+         "--protocol", "coco"],
+        env=env, capture_output=True, text=True, timeout=300)
+    assert r.returncode == 0, r.stderr[-2000:]
+    cli = json.loads(r.stdout.strip().splitlines()[-1])
+
+    icfg = dataclasses.replace(
+        cfg, infer=dataclasses.replace(cfg.infer, test_scales=(1.0,),
+                                       tta_vote="mean",
+                                       tta_vote_thresh=0.1))
+    ens = build_ensemble_fn([model, model], icfg)
+    ds = build_dataset(cfg.data, split="test")
+    nprng = np.random.default_rng(0)
+    recs = []
+    for i in range(len(ds)):
+        s = _prepare_sample(ds[i], cfg.data, augment=False, rng=nprng)
+        out = ens([state.params, state.params], {"1": s["image"][None]})
+        recs.append({"pred_label": np.asarray(out["label_map"][0]),
+                     "scores": np.asarray(out["scores"][0]),
+                     "gt_label": s["label_map"]})
+    mem = evaluate.evaluate_coco(recs)
+    assert abs(cli["AP_coco"] - mem["AP_coco"]) < 1e-6, (cli, mem)
+    assert abs(cli["AP50"] - mem["AP50"]) < 1e-6, (cli, mem)
+
+
 @pytest.fixture(scope="module")
 def trained_crowded():
     """A second tiny model trained on the crowded variant — the
