@@ -43,6 +43,9 @@ def main():
     # A/B hook for the gaussian target renderer (scan vs pallas) — suffixes
     # the metric name so logs can't conflate the arms
     renderer = os.environ.get("KGTPU_BENCH_RENDERER", "scan")
+    # loss_fn string-matches "pallas"; anything else silently measures the
+    # scan renderer under a mislabeled metric suffix — reject typos here
+    assert renderer in ("scan", "pallas"), f"KGTPU_BENCH_RENDERER={renderer!r}"
     if renderer != "scan":
         import dataclasses
         cfg = dataclasses.replace(cfg, train=dataclasses.replace(

@@ -125,8 +125,15 @@ def main():
     for bb in [a for a in arms.split(",") if a]:
         bcfg = dataclasses.replace(
             cfg, model=dataclasses.replace(cfg.model, backbone=bb))
-        bstate = create_train_state(bcfg, jax.random.PRNGKey(0))
-        bmodel = KGNet(cfg=bcfg.model)
+        if bb == cfg.model.backbone:
+            # the default arm reuses the state/model already built for the
+            # stage rows — the fresh compile of bfwd is unavoidable (its
+            # program returns (hm, feat), not the full s1 pipeline) but a
+            # second create_train_state through the tunnel is pure waste
+            bstate, bmodel = state, model
+        else:
+            bstate = create_train_state(bcfg, jax.random.PRNGKey(0))
+            bmodel = KGNet(cfg=bcfg.model)
 
         def bfwd(params, imgs, _m=bmodel):
             x = normalize_images(imgs, cfg.data.mean, cfg.data.std)

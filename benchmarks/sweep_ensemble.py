@@ -91,6 +91,12 @@ def main() -> None:
     models = [KGNet(cfg=mc) for _, mc, _ in members]
     params_list = [pr for _, _, pr in members]
     divisor = max(required_divisor(mc) for _, mc, _ in members)
+    if args.input_size % divisor:
+        # same gate as test.py: the scale-1.0 stack would otherwise be
+        # built at a rounded side != the paste/eval canvas, silently
+        # shifting mask crops in a published-numbers sweep
+        sys.exit(f"--input_size {args.input_size} must be divisible by "
+                 f"{divisor} for the selected members")
     scales = tuple(float(x) for x in args.scales.split(","))
     assert 1.0 in scales, "--scales must include 1.0"
 

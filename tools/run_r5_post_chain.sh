@@ -25,26 +25,30 @@ timeout 1800 python benchmarks/sweep_tta.py \
     --weights runs/kg_unet1024/model_99 --dataset synthetic_hard \
     --use_ema 1 --conf 0.3,0.35 --vote max,mean --vote_thresh 0,0.15 \
     --size_prune 1.2 >runs/kg_unet1024/sweep99_tta_matched.log 2>&1
-echo "[$(date -Is)] post: tta rc=$?"
+rc=$?
+echo "[$(date -Is)] post: tta rc=$rc"
 
 OUT=benchmarks/results/train_bench_r5b.jsonl
 echo "[$(date -Is)] post: remat batch8 k1 cell"
 KGTPU_BENCH_BATCH=8 KGTPU_BENCH_K=1 KGTPU_BENCH_REMAT=1 \
   timeout 1800 python benchmarks/bench_config2_train_step.py \
   >>"$OUT" 2>/tmp/r5_post_remat.err
-echo "[$(date -Is)] post: remat rc=$?"
+rc=$?
+echo "[$(date -Is)] post: remat rc=$rc"
 
 for bb in hourglass unet; do
   for b in 48 64; do
     echo "[$(date -Is)] post: inference batch $b backbone $bb"
     KGTPU_BENCH_BATCH=$b KGTPU_BENCH_BACKBONE=$bb timeout 1800 python bench.py \
       >>benchmarks/results/infer_batch_r5.jsonl 2>/tmp/r5_post_b${b}_$bb.err
-    echo "[$(date -Is)] post: batch $b $bb rc=$?"
+    rc=$?
+    echo "[$(date -Is)] post: batch $b $bb rc=$rc"
   done
 done
 
 echo "[$(date -Is)] post: bench.py default sanity"
 timeout 1800 python bench.py >/tmp/r5_bench_default.json 2>/tmp/r5_bench_default.err
-echo "[$(date -Is)] post: bench rc=$?"
+rc=$?
+echo "[$(date -Is)] post: bench rc=$rc"
 cat /tmp/r5_bench_default.json
 echo "[$(date -Is)] post: all done"

@@ -14,7 +14,8 @@ cell() {
   env "$@" timeout "${CELL_TIMEOUT:-900}" \
     python benchmarks/bench_config2_train_step.py \
     >>"$OUT" 2>/tmp/train_bench_r5b.err
-  echo "[$(date -Is)] rc=$?" >&2
+  rc=$?
+  echo "[$(date -Is)] rc=$rc" >&2
 }
 
 # large-batch k=8 cells that outran the matrix's 900 s cap (slow tunnel
@@ -30,5 +31,6 @@ cell KGTPU_BENCH_BATCH=8  KGTPU_BENCH_K=8 KGTPU_BENCH_REMAT=1
 
 echo "[$(date -Is)] roofline" >&2
 timeout 1800 python benchmarks/roofline.py >>"$OUT" 2>>/tmp/train_bench_r5b.err
-echo "[$(date -Is)] roofline rc=$?" >&2
+rc=$?
+echo "[$(date -Is)] roofline rc=$rc" >&2
 echo "[$(date -Is)] r5b done -> $OUT" >&2
