@@ -15,14 +15,28 @@
 #     outage, OOM kill, crash), probes the TPU with a bounded `timeout`
 #     (tunnel backend-init hangs otherwise — CLAUDE.md trap) until it is
 #     reachable, then relaunches the SAME command with a bare --resume;
+#   * if the trainer is ALIVE but its log has been silent for
+#     KGTPU_WATCH_STALL_MIN minutes (default 15) while a fresh TPU probe
+#     succeeds, kills it by PID and lets the relaunch path resume it: a
+#     dispatch RPC can wedge forever while the tunnel itself is healthy
+#     (measured 2026-08-20: 17 min frozen mid-epoch, zero host CPU, while
+#     a separate process used the TPU fine).  The threshold must exceed
+#     the longest legitimate log gap — startup dataset stats + first
+#     compile (~5 min) and the in-train eval pass;
 #   * exits 0 once model_FINAL_EPOCH is finalized on disk (orbax writes are
 #     atomic renames, so the directory existing means it is complete).
 set -u
 SAVE_DIR=$1; FINAL=$2; LOG=$3; shift 3
 [ "${1:-}" = "--" ] && shift
 
+STALL_S=$(( ${KGTPU_WATCH_STALL_MIN:-15} * 60 ))
+
 probe_tpu() { timeout 180 python -c "import jax; assert jax.devices()" >/dev/null 2>&1; }
 done_yet()  { [ -d "$SAVE_DIR/model_$FINAL" ]; }
+# alive = PID exists and is not a zombie (a kill -0 check alone would spin
+# forever on the un-reaped child after it dies)
+alive() { [ "$(awk '{print $3}' "/proc/$1/stat" 2>/dev/null)" != "" ] \
+          && [ "$(awk '{print $3}' "/proc/$1/stat" 2>/dev/null)" != "Z" ]; }
 
 attempt=0
 while ! done_yet; do
@@ -36,7 +50,19 @@ while ! done_yet; do
     CMD+=(--resume)
   fi
   echo "$(date -Is) watcher: launch attempt $attempt: ${CMD[*]}" >>"$LOG"
-  "${CMD[@]}" >>"$LOG" 2>&1
+  "${CMD[@]}" >>"$LOG" 2>&1 &
+  tpid=$!
+  while alive "$tpid"; do
+    sleep 60
+    age=$(( $(date +%s) - $(stat -c %Y "$LOG" 2>/dev/null || date +%s) ))
+    if [ "$age" -ge "$STALL_S" ] && probe_tpu; then
+      echo "$(date -Is) watcher: log silent ${age}s with TPU reachable — killing wedged trainer pid $tpid" >>"$LOG"
+      kill "$tpid" 2>/dev/null
+      sleep 15
+      kill -9 "$tpid" 2>/dev/null
+    fi
+  done
+  wait "$tpid"
   rc=$?
   echo "$(date -Is) watcher: trainer exited rc=$rc" >>"$LOG"
   attempt=$((attempt + 1))
