@@ -417,7 +417,12 @@ def build_train_parser() -> argparse.ArgumentParser:
                         "affine augmentation (image/masks/keypoints)")
     p.add_argument("--aug_elastic", default="0",
                    help="elastic deformation: ALPHA (max displacement px) "
-                        "or ALPHA,SIGMA (smoothness grid px); 0 = off")
+                        "or ALPHA,SIGMA (smoothness grid px); 0 = off. "
+                        "Measured NET-NEGATIVE on the synthetic benchmark "
+                        "family at every swept setting — (12,32) -0.105 "
+                        "mAP, (6,48) -0.041, (12,64) -0.055, (20,96) "
+                        "-0.054 vs off (README round-5 sweep); intended "
+                        "for real stained-tissue data only")
     p.add_argument("--aug_rotate", type=float, default=0.0,
                    help="random rotation range in +/- degrees for the "
                         "joint affine augmentation")
