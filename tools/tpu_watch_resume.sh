@@ -17,26 +17,49 @@
 #     reachable, then relaunches the SAME command with a bare --resume;
 #   * if the trainer is ALIVE but its log has been silent for
 #     KGTPU_WATCH_STALL_MIN minutes (default 15) while a fresh TPU probe
-#     succeeds, kills it by PID and lets the relaunch path resume it: a
-#     dispatch RPC can wedge forever while the tunnel itself is healthy
-#     (measured 2026-08-20: 17 min frozen mid-epoch, zero host CPU, while
-#     a separate process used the TPU fine).  The threshold must exceed
-#     the longest legitimate log gap — startup dataset stats + first
-#     compile (~5 min) and the in-train eval pass;
+#     succeeds, kills it — and its whole process group, so a wrapper-
+#     launched trainer can't leak the real wedged python — and lets the
+#     relaunch path resume it: a dispatch RPC can wedge forever while the
+#     tunnel itself is healthy (measured 2026-08-20: 17 min frozen
+#     mid-epoch, zero host CPU, while a separate process used the TPU
+#     fine).  The threshold must exceed the longest legitimate log gap —
+#     startup dataset stats + first compile (~5 min); the in-train eval
+#     heartbeats per chunk (train.py run_eval), so a slow-tunnel eval
+#     (measured 23 min for 32 imgs) no longer reads as a stall;
 #   * exits 0 once model_FINAL_EPOCH is finalized on disk (orbax writes are
 #     atomic renames, so the directory existing means it is complete).
 set -u
 SAVE_DIR=$1; FINAL=$2; LOG=$3; shift 3
 [ "${1:-}" = "--" ] && shift
 
-STALL_S=$(( ${KGTPU_WATCH_STALL_MIN:-15} * 60 ))
+# Knobs, validated up front: under `set -u` without `set -e` a non-integer
+# value would otherwise fail the $(( )) assignment NON-fatally, leave the
+# variable unset, and silently disable stall detection for the whole run.
+STALL_MIN=${KGTPU_WATCH_STALL_MIN:-15}
+TICK_S=${KGTPU_WATCH_TICK_S:-60}     # monitor loop period
+GRACE_S=${KGTPU_WATCH_GRACE_S:-15}   # TERM -> KILL grace
+for kv in "KGTPU_WATCH_STALL_MIN=$STALL_MIN" "KGTPU_WATCH_TICK_S=$TICK_S" \
+          "KGTPU_WATCH_GRACE_S=$GRACE_S"; do
+  case "${kv#*=}" in (""|*[!0-9]*)
+    echo "watcher: ${kv%%=*} must be a non-negative integer (got '${kv#*=}')" >&2
+    exit 2;;
+  esac
+done
+STALL_S=$(( STALL_MIN * 60 ))
+# test/debug override in seconds (takes precedence over the minutes knob)
+case "${KGTPU_WATCH_STALL_S:-}" in
+  ("") ;;
+  (*[!0-9]*) echo "watcher: KGTPU_WATCH_STALL_S must be an integer" >&2; exit 2;;
+  (*) STALL_S=$KGTPU_WATCH_STALL_S;;
+esac
 
 probe_tpu() { timeout 180 python -c "import jax; assert jax.devices()" >/dev/null 2>&1; }
 done_yet()  { [ -d "$SAVE_DIR/model_$FINAL" ]; }
 # alive = PID exists and is not a zombie (a kill -0 check alone would spin
-# forever on the un-reaped child after it dies)
-alive() { [ "$(awk '{print $3}' "/proc/$1/stat" 2>/dev/null)" != "" ] \
-          && [ "$(awk '{print $3}' "/proc/$1/stat" 2>/dev/null)" != "Z" ]; }
+# forever on the un-reaped child after it dies).  Single /proc read: two
+# reads would race a process exiting between them.
+alive() { local s; s=$(awk '{print $3}' "/proc/$1/stat" 2>/dev/null)
+          [ -n "$s" ] && [ "$s" != "Z" ]; }
 
 attempt=0
 while ! done_yet; do
@@ -50,16 +73,21 @@ while ! done_yet; do
     CMD+=(--resume)
   fi
   echo "$(date -Is) watcher: launch attempt $attempt: ${CMD[*]}" >>"$LOG"
-  "${CMD[@]}" >>"$LOG" 2>&1 &
+  # setsid: the trainer gets its own process group (pgid == pid), so the
+  # stall kill below can take out the WHOLE tree — launching via a wrapper
+  # (bash -c, a runner script) would otherwise leave the real wedged
+  # python alive, holding the tunnel, while we relaunch a second trainer
+  # into the same save_dir.
+  setsid "${CMD[@]}" >>"$LOG" 2>&1 &
   tpid=$!
   while alive "$tpid"; do
-    sleep 60
+    sleep "$TICK_S"
     age=$(( $(date +%s) - $(stat -c %Y "$LOG" 2>/dev/null || date +%s) ))
     if [ "$age" -ge "$STALL_S" ] && probe_tpu; then
-      echo "$(date -Is) watcher: log silent ${age}s with TPU reachable — killing wedged trainer pid $tpid" >>"$LOG"
-      kill "$tpid" 2>/dev/null
-      sleep 15
-      kill -9 "$tpid" 2>/dev/null
+      echo "$(date -Is) watcher: log silent ${age}s with TPU reachable — killing wedged trainer pgid $tpid" >>"$LOG"
+      kill -- -"$tpid" 2>/dev/null || kill "$tpid" 2>/dev/null
+      sleep "$GRACE_S"
+      kill -9 -- -"$tpid" 2>/dev/null || kill -9 "$tpid" 2>/dev/null
     fi
   done
   wait "$tpid"

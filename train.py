@@ -219,9 +219,24 @@ def main() -> None:
             # params live replicated on the mesh; the eval program is a
             # plain single-device jit — round-trip through host numpy
             params = jax.tree.map(np.asarray, params)
-        out = eval_state["fn"](params, eval_state["imgs"])
-        labs = np.asarray(out["label_map"])
-        scs = np.asarray(out["scores"])
+        # Chunked dispatches, one heartbeat log line each: a single 32-img
+        # eval dispatch measured 23 min on a slow tunnel, long enough for
+        # the tpu_watch_resume.sh stall detector (15 min default) to kill
+        # a perfectly healthy trainer mid-eval — and since the epoch
+        # checkpoint saves only after eval, that livelocks the run.  Per-
+        # image outputs are batch-independent (the batch-level chunk-skip
+        # predicates only skip work when no image in the chunk needs it),
+        # so chunking changes nothing but dispatch granularity.
+        chunk = 8
+        n = eval_state["imgs"].shape[0]
+        labs_l, scs_l = [], []
+        for i0 in range(0, n, chunk):
+            out = eval_state["fn"](params, eval_state["imgs"][i0:i0 + chunk])
+            labs_l.append(np.asarray(out["label_map"]))
+            scs_l.append(np.asarray(out["scores"]))
+            log.info("held-out eval %d/%d", min(i0 + chunk, n), n)
+        labs = np.concatenate(labs_l)
+        scs = np.concatenate(scs_l)
         recs = [{"pred_label": labs[i], "scores": scs[i],
                  "gt_label": eval_state["gts"][i]}
                 for i in range(len(eval_state["gts"]))]
